@@ -1,0 +1,121 @@
+"""Headline benchmark: 5-fold mel-CNN full-test inference, clips/sec/chip.
+
+The reference's published number (README.md:37 / BASELINE.md): full stage-1
+test inference, 1 model x 5 folds, ~1 minute on a single GPU with on-device
+STFT/mel and similar-length batching. Stage-1 test is ~1120 clips, so the
+baseline is ~18.7 clips/sec through the whole 5-fold ensemble.
+
+This benchmark reproduces that workload shape on synthetic audio with the
+FSDKaggle2019 test length distribution (~1-15 s at 44.1 kHz): a
+reference-scale 2d mel CNN (6 blocks, base depth 64, growth 1.5, ~10M params)
+over length-bucketed batches, 5 sequential fold passes per clip, fused
+STFT->mel->log featurization on device. Prints ONE json line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from freesound_classification_tpu.data.bucketing import (
+    bucket_of,
+    make_bucket_ladder,
+)
+from freesound_classification_tpu.models.classifiers import TwoDimensionalCNN
+from freesound_classification_tpu.models.frontend import Frontend
+
+SR = 44100
+N_CLASSES = 80
+N_FOLDS = 5
+N_CLIPS = 1120  # stage-1 test scale
+BASELINE_CLIPS_PER_SEC = 1120.0 / 60.0  # reference: ~1 min for the full job
+
+FEATURES = "mel_2048_1024_128"
+
+
+def build_model_and_params(key):
+    model = TwoDimensionalCNN(
+        num_conv_blocks=6,
+        start_deep_supervision_on=2,
+        conv_base_depth=64,
+        growth_rate=1.5,
+        aggregation_type="max",
+        n_classes=N_CLASSES,
+        dtype=jnp.bfloat16,
+    )
+    frontend = Frontend(FEATURES, "2d", sr=SR, use_pallas=True)
+    wave = jnp.zeros((4, 65536), jnp.float32)
+    lengths = jnp.full((4,), 65536, jnp.int32)
+    inputs, fl = frontend(wave, lengths)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, inputs, fl,
+                           train=False)
+    return model, frontend, variables
+
+
+def synthetic_clip_lengths(n, seed=0):
+    """FSDKaggle2019-ish test length distribution: 1-15 s, median ~5 s."""
+    rng = np.random.RandomState(seed)
+    secs = np.clip(rng.lognormal(mean=1.45, sigma=0.6, size=n), 1.0, 15.0)
+    return (secs * SR).astype(np.int64)
+
+
+def main():
+    model, frontend, variables = build_model_and_params(0)
+
+    @jax.jit
+    def infer(wave, lengths):
+        inputs, fl = frontend(wave, lengths)
+        out = model.apply(variables, inputs, fl, train=False)
+        return jax.nn.sigmoid(out["class_logits"])
+
+    lengths = synthetic_clip_lengths(N_CLIPS)
+    ladder = make_bucket_ladder(int(lengths.max()), min_length=SR)
+    buckets = bucket_of(lengths, ladder)
+
+    # per-bucket batches sized to ~constant total samples (similar-length
+    # batching, the reference's winning inference trick, README.md:37)
+    max_batch_elems = 64 * SR * 10
+    batches = []
+    rng = np.random.RandomState(1)
+    for b in range(len(ladder)):
+        ids = np.flatnonzero(buckets == b)
+        if ids.size == 0:
+            continue
+        bl = ladder[b]
+        bs = max(min(int(max_batch_elems // bl), 256), 8)
+        for k in range(0, len(ids), bs):
+            chunk = ids[k : k + bs]
+            wave = rng.randn(len(chunk), bl).astype(np.float32) * 0.1
+            for row, i in enumerate(chunk):
+                wave[row, lengths[i]:] = 0.0
+            batches.append(
+                (jnp.asarray(wave),
+                 jnp.asarray(lengths[chunk].astype(np.int32))))
+
+    # warmup: compile every bucket shape
+    for wave, ln in batches:
+        infer(wave, ln).block_until_ready()
+
+    # timed: 5 sequential fold passes over the full test set
+    t0 = time.time()
+    for _ in range(N_FOLDS):
+        for wave, ln in batches:
+            out = infer(wave, ln)
+    out.block_until_ready()
+    dt = time.time() - t0
+
+    clips_per_sec = N_CLIPS / dt
+    print(json.dumps({
+        "metric": "5fold_melcnn_inference_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Predict with a trained experiment's per-fold best models
+(reference predict_2d_cnn.py): load config via resume_from, run every fold's
+best checkpoint over a test CSV, average probabilities, write one CSV with
+``fname`` + the 80 sorted class-name columns — the schema every downstream
+tool (relabeling, blending, submission) consumes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import types
+
+import numpy as np
+import pandas as pd
+
+from freesound_classification_tpu.cli import common
+from freesound_classification_tpu.data.dataset import (
+    ClipDataset,
+    class_names_from_classmap,
+    load_classmap,
+    manifest_from_dataframe,
+)
+from freesound_classification_tpu.data.loader import make_loader
+from freesound_classification_tpu.utils.experiment import Experiment
+
+
+def add_predict_arguments(parser):
+    parser.add_argument("--experiment", required=True, type=str,
+                        help="path to the experiment directory")
+    parser.add_argument("--test_df", required=True, type=str)
+    parser.add_argument("--test_data_dir", required=True, type=str)
+    parser.add_argument("--classmap", required=True, type=str)
+    parser.add_argument("--output_df", required=True, type=str)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--n_tta", type=int, default=1)
+    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--model_kind", type=str, default="2d_cnn",
+                        choices=("2d_cnn", "hierarchical_cnn", "backbone_cnn"))
+    parser.add_argument("--bf16", action="store_true", default=False)
+    parser.add_argument("--use_pallas", action="store_true", default=False)
+    parser.add_argument("--mesh_devices", type=int, default=None)
+    parser.add_argument("--max_batch_elems", type=int, default=None)
+
+
+def build_inference_engine(args, experiment, model_kind, fold, example_loader):
+    """Reconstruct the engine from a saved experiment config and load the
+    fold's best checkpoint."""
+    cfg = experiment.config
+    n_classes = int(cfg.data._n_classes)
+    eng_args = types.SimpleNamespace(
+        features=cfg.data.features,
+        aggregation_type=cfg.network.aggregation_type,
+        p_mixup=0.0, p_aug=0.0,
+        bf16=getattr(args, "bf16", False),
+        use_pallas=getattr(args, "use_pallas", False),
+        mesh_devices=getattr(args, "mesh_devices", None),
+        loss=(cfg.train._loss if "_loss" in cfg.train else "lsep_naive"),
+        mixup_exact_add=False,
+    )
+    engine = common.build_engine(
+        eng_args, experiment, model_kind, n_classes, writers=False)
+    engine.make_optimizer(max_steps=1, steps_per_epoch=1)
+    engine.init_state(next(iter(example_loader)))
+    engine.load_best_model(fold)
+    return engine
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    add_predict_arguments(parser)
+    args = parser.parse_args(argv)
+    common.initialize_accelerator()
+
+    experiment = Experiment(resume_from=args.experiment)
+    class_map = load_classmap(args.classmap)
+    class_names = class_names_from_classmap(class_map)
+    n_folds = int(experiment.config.data._n_folds)
+
+    test_df = pd.read_csv(args.test_df)
+    files, _ = manifest_from_dataframe(test_df, args.test_data_dir)
+    ds = ClipDataset(files, classmap=class_map, sr=common.SR)
+    ladder = common.default_ladder(None)
+    loader = make_loader(
+        ds, ladder,
+        batch_size=(None if args.max_batch_elems else args.batch_size),
+        max_batch_elems=args.max_batch_elems,
+        train=False, num_workers=args.num_workers,
+    )
+
+    all_predictions = np.zeros((len(test_df), len(class_names)), np.float64)
+    for fold in range(n_folds):
+        print(f"predicting fold {fold}")
+        engine = build_inference_engine(
+            args, experiment, args.model_kind, fold, loader)
+        preds = common.predict_ordered(engine, loader)
+        if args.n_tta > 1:
+            preds = np.mean(
+                [preds] + [
+                    common.predict_ordered(engine, loader)
+                    for _ in range(args.n_tta - 1)
+                ], axis=0)
+        all_predictions += preds / n_folds
+
+    out = pd.DataFrame(all_predictions, columns=class_names)
+    out["fname"] = test_df.fname.values
+    out = out[["fname"] + class_names]
+    os.makedirs(os.path.dirname(os.path.abspath(args.output_df)), exist_ok=True)
+    out.to_csv(args.output_df, index=False)
+    print(f"wrote {args.output_df}")
+
+
+if __name__ == "__main__":
+    main()

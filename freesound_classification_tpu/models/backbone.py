@@ -1,0 +1,110 @@
+"""ResNet-18/34 backbone classifier, built from scratch in Flax.
+
+Counterpart of reference networks/classifiers.py:896-964
+(``CNNBackboneClassificationModel``): the log-(mel-)spectrogram is repeated to
+3 channels, batch-normed, run through a from-scratch resnet18/34 trunk
+(the reference uses ``pretrainedmodels`` with ``pretrained=None`` — i.e.
+untrained weights, classifiers.py:912-915), globally max-pooled and fed to the
+shared MLP head. Layout NHWC; global pooling is time-masked.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from freesound_classification_tpu.models.blocks import (
+    MLPHead,
+    _bn,
+    masked_max_pool_2d,
+)
+
+
+class BasicBlock(nn.Module):
+    """Standard resnet v1 basic block: 3x3 -> 3x3 with identity/projection."""
+
+    features: int
+    strides: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        h = nn.Conv(
+            self.features, (3, 3), strides=(self.strides, self.strides),
+            padding=1, use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        h = _bn(train, self.dtype, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(
+            self.features, (3, 3), padding=1, use_bias=False,
+            dtype=self.dtype, name="conv2",
+        )(h)
+        h = _bn(train, self.dtype, name="bn2")(h)
+        if residual.shape[-1] != self.features or self.strides != 1:
+            residual = nn.Conv(
+                self.features, (1, 1), strides=(self.strides, self.strides),
+                use_bias=False, dtype=self.dtype, name="downsample",
+            )(residual)
+            residual = _bn(train, self.dtype, name="downsample_bn")(residual)
+        return nn.relu(h + residual)
+
+
+RESNET_STAGES = {
+    "resnet18": (2, 2, 2, 2),
+    "resnet34": (3, 4, 6, 3),
+}
+
+
+class ResNetTrunk(nn.Module):
+    """conv7x7/2 -> maxpool/2 -> 4 stages of BasicBlocks (64/128/256/512)."""
+
+    stages: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+            dtype=self.dtype, name="conv1",
+        )(x)
+        h = _bn(train, self.dtype, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for stage, n_blocks in enumerate(self.stages):
+            features = 64 * (2**stage)
+            for b in range(n_blocks):
+                strides = 2 if (stage > 0 and b == 0) else 1
+                h = BasicBlock(
+                    features, strides, self.dtype, name=f"stage{stage}_block{b}"
+                )(h, train)
+        return h
+
+
+class CNNBackbone(nn.Module):
+    """3-channel spectrogram -> input BN -> resnet trunk -> masked global max
+    pool -> MLP head (reference networks/classifiers.py:932-958)."""
+
+    arch: str = "resnet18"
+    output_dropout: float = 0.0
+    n_classes: int = 80
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, spec, frame_lengths, train: bool = False):
+        # spec: (B, H, W, 1) log spectrogram
+        x = jnp.repeat(spec.astype(self.dtype), 3, axis=-1)
+        x = _bn(train, self.dtype, name="input_norm")(x)
+        h = ResNetTrunk(RESNET_STAGES[self.arch], self.dtype, name="trunk")(
+            x, train
+        )
+        # trunk downsamples time by 32 (conv1 2x, maxpool 2x, stages 2-4: 8x)
+        lengths = jnp.maximum(frame_lengths // 32, 1)
+        feats = masked_max_pool_2d(h, lengths)
+        logits = MLPHead(
+            feats.shape[-1], self.n_classes, self.output_dropout,
+            self.dtype, name="head",
+        )(feats, train)
+        return {"class_logits": logits.astype(jnp.float32)}

@@ -1,0 +1,255 @@
+"""Shared Flax building blocks (NHWC / NTC layouts, TPU-native).
+
+Counterparts of the reference's torch blocks:
+- ``PReLU``          — per-channel PReLU (torch nn.PReLU(depth))
+- ``ResnetBlock1d``  — reference networks/classifiers.py:37-69
+- ``ResnetBlock2d``  — reference networks/classifiers.py:72-104
+- ``ConvBlock1d/2d`` — the outer per-stage block: BN -> Conv(3) -> MaxPool(2)
+                       -> BN -> PReLU -> ResnetBlock
+                       (reference networks/classifiers.py:147-161, 524-538)
+- ``masked_max_pool_time`` / ``MaskedBiGRU`` — the deep-supervision
+  aggregators, made padding-exact for length-bucketed static shapes
+  (the TPU answer to the reference's dynamic pad-to-batch-max;
+  SURVEY.md §2b / §5 long-context notes)
+
+Layouts are channels-last throughout (NHWC for 2d, (B, T, C) for 1d) — the
+native layout for XLA TPU convolutions — where the reference uses NCHW/NCT.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU over the trailing (channel) axis, init 0.25."""
+
+    channels: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param(
+            "alpha",
+            lambda key, shape: jnp.full(shape, 0.25, self.param_dtype),
+            (self.channels,),
+        )
+        alpha = alpha.astype(x.dtype)
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+def _bn(train: bool, dtype=None, name=None):
+    """BatchNorm matching torch defaults (eps=1e-5, momentum 0.1)."""
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class ResnetBlock1d(nn.Module):
+    """1x1 -> 3(pad 1) -> 1x1 conv residual block, BN+PReLU each (1d).
+
+    reference networks/classifiers.py:37-69. Input (B, T, C)."""
+
+    depth: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        h = nn.Conv(self.depth, (1,), dtype=self.dtype, name="conv1")(x)
+        h = _bn(train, self.dtype, name="bn1")(h)
+        h = PReLU(self.depth, name="prelu1")(h)
+        h = nn.Conv(self.depth, (3,), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = _bn(train, self.dtype, name="bn2")(h)
+        h = PReLU(self.depth, name="prelu2")(h)
+        h = nn.Conv(self.depth, (1,), dtype=self.dtype, name="conv3")(h)
+        h = _bn(train, self.dtype, name="bn3")(h)
+        h = h + identity
+        return PReLU(self.depth, name="prelu3")(h)
+
+
+class ResnetBlock2d(nn.Module):
+    """Same as ResnetBlock1d in 2d (reference networks/classifiers.py:72-104).
+
+    Input (B, H, W, C)."""
+
+    depth: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        h = nn.Conv(self.depth, (1, 1), dtype=self.dtype, name="conv1")(x)
+        h = _bn(train, self.dtype, name="bn1")(h)
+        h = PReLU(self.depth, name="prelu1")(h)
+        h = nn.Conv(self.depth, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = _bn(train, self.dtype, name="bn2")(h)
+        h = PReLU(self.depth, name="prelu2")(h)
+        h = nn.Conv(self.depth, (1, 1), dtype=self.dtype, name="conv3")(h)
+        h = _bn(train, self.dtype, name="bn3")(h)
+        h = h + identity
+        return PReLU(self.depth, name="prelu3")(h)
+
+
+class ConvBlock1d(nn.Module):
+    """BN -> Conv1d(k=3, pad 1) -> MaxPool(2) -> BN -> PReLU -> ResnetBlock.
+
+    reference networks/classifiers.py:147-161. Halves the time axis."""
+
+    depth: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = _bn(train, self.dtype, name="bn_in")(x)
+        h = nn.Conv(self.depth, (3,), padding=1, dtype=self.dtype, name="conv")(h)
+        # clamp the pool once the (static, per-bucket) time axis hits 1 —
+        # torch's MaxPool1d(2) would error there; deep towers on short
+        # buckets must stay well-defined
+        wt = 2 if h.shape[1] >= 2 else 1
+        h = nn.max_pool(h, (wt,), strides=(wt,))
+        h = _bn(train, self.dtype, name="bn_out")(h)
+        h = PReLU(self.depth, name="prelu")(h)
+        return ResnetBlock1d(self.depth, self.dtype, name="resnet")(h, train)
+
+
+class ConvBlock2d(nn.Module):
+    """2d variant (reference networks/classifiers.py:524-538). Halves H and W."""
+
+    depth: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = _bn(train, self.dtype, name="bn_in")(x)
+        h = nn.Conv(self.depth, (3, 3), padding=1, dtype=self.dtype, name="conv")(h)
+        # clamp pooling per axis once its static size hits 1 (short buckets
+        # under deep towers; see ConvBlock1d)
+        wh = 2 if h.shape[1] >= 2 else 1
+        ww = 2 if h.shape[2] >= 2 else 1
+        h = nn.max_pool(h, (wh, ww), strides=(wh, ww))
+        h = _bn(train, self.dtype, name="bn_out")(h)
+        h = PReLU(self.depth, name="prelu")(h)
+        return ResnetBlock2d(self.depth, self.dtype, name="resnet")(h, train)
+
+
+def time_mask(lengths: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+    """(B,) valid frame counts -> (B, n_frames) {0,1} mask."""
+    t = jnp.arange(n_frames)
+    return (t[None, :] < lengths[:, None]).astype(jnp.float32)
+
+
+def mask_time(h: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Zero out padded time frames of a (B, T, C) feature map.
+
+    Applied between conv blocks so that bucket padding stays a *constant*
+    (zero — matching the convs' own SAME zero padding) no matter how deep the
+    receptive field grows: without this, a ResnetBlock's post-pool 3-wide
+    convs pull bucket-edge values back into the valid region and logits start
+    depending on which bucket a clip was padded into.
+    """
+    return h * time_mask(lengths, h.shape[1])[..., None].astype(h.dtype)
+
+
+def mask_time_2d(h: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Zero out padded time frames (axis 2) of a (B, H, W, C) feature map."""
+    return h * time_mask(lengths, h.shape[2])[:, None, :, None].astype(h.dtype)
+
+
+def masked_max_pool_time(h: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Global max over the time axis restricted to valid frames.
+
+    h: (B, T, C) (1d tower) — returns (B, C). The reference global-maxpools
+    over all (padded) frames (networks/classifiers.py:199-201); masking makes
+    logits exactly invariant to the bucket a clip landed in.
+    """
+    mask = time_mask(lengths, h.shape[1])[..., None]
+    return jnp.max(jnp.where(mask > 0, h, NEG_INF), axis=1)
+
+
+def masked_max_pool_2d(h: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Global max over (H, W) with W (time) masked. h: (B, H, W, C) -> (B, C)."""
+    mask = time_mask(lengths, h.shape[2])[:, None, :, None]
+    return jnp.max(jnp.where(mask > 0, h, NEG_INF), axis=(1, 2))
+
+
+def masked_mean_time(h: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Mean over valid time frames. h: (B, T, C) -> (B, C)."""
+    mask = time_mask(lengths, h.shape[1])[..., None]
+    total = jnp.sum(h * mask, axis=1)
+    return total / jnp.maximum(jnp.sum(mask, axis=1), 1.0)
+
+
+class MaskedBiGRU(nn.Module):
+    """LayerNorm -> bidirectional GRU over time; returns concatenated final
+    states of both directions at each sample's true sequence end.
+
+    The reference aggregator (networks/classifiers.py:139-145, 202-207) is
+    LayerNorm + nn.GRU(bidirectional) taking the final hidden states. Here the
+    scan respects per-sample lengths: the forward carry freezes past
+    ``lengths[b]``, and the backward pass runs over the length-aware flipped
+    sequence, so bucket padding never reaches the states.
+    """
+
+    hidden: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        # x: (B, T, C); lengths: (B,) valid frame counts
+        x = nn.LayerNorm(dtype=self.dtype, name="ln")(x)
+        fwd = nn.RNN(
+            nn.GRUCell(self.hidden, dtype=self.dtype),
+            return_carry=True,
+            name="gru_fwd",
+        )
+        bwd = nn.RNN(
+            nn.GRUCell(self.hidden, dtype=self.dtype),
+            return_carry=True,
+            reverse=True,
+            keep_order=True,
+            name="gru_bwd",
+        )
+        carry_f, _ = fwd(x, seq_lengths=lengths)
+        carry_b, _ = bwd(x, seq_lengths=lengths)
+        return jnp.concatenate([carry_f, carry_b], axis=-1)
+
+
+class MLPHead(nn.Module):
+    """BN -> Linear -> BN -> PReLU -> Dropout -> Linear(n_classes).
+
+    reference networks/classifiers.py:165-172 / 542-549."""
+
+    width: int
+    n_classes: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = _bn(train, self.dtype, name="bn1")(x)
+        h = nn.Dense(self.width, dtype=self.dtype, name="fc1")(h)
+        h = _bn(train, self.dtype, name="bn2")(h)
+        h = PReLU(self.width, name="prelu")(h)
+        h = nn.Dropout(self.dropout, deterministic=not train, name="dropout")(h)
+        return nn.Dense(self.n_classes, dtype=self.dtype, name="fc2")(h)
+
+
+def block_depths(
+    num_conv_blocks: int, conv_base_depth: int, growth_rate: float
+) -> Sequence[int]:
+    """Per-stage channel widths: int(growth_rate**k * conv_base_depth)
+    (reference networks/classifiers.py:130-132)."""
+    return [
+        int(growth_rate**k * conv_base_depth) for k in range(num_conv_blocks)
+    ]

@@ -1,0 +1,423 @@
+"""On-device, PRNG-pure, vmapped audio augmentations.
+
+TPU-native counterparts of the reference's CPU/sox augmentation stack
+(ops/audio.py + ops/transforms.py + pysndfx->sox): every op here is a pure
+function of (waveform batch, valid lengths, PRNG key) with static shapes, so
+the whole augmentation pipeline fuses into the jitted train step — the
+reference pays librosa/sox subprocess costs per sample in loader workers
+(SURVEY.md §3.1 hot loops); here augmentation is effectively free on the
+accelerator.
+
+Components and their reference counterparts:
+- ``mixup_or``        — MixUp with OR labels + replace-window mix
+                        (ops/audio.py:32-52, transforms.py:44-65). Reproduces
+                        the reference's ``=+`` quirk (audio.py:50): the window
+                        of the longer clip is *replaced* by ``shorter*(1-a)``,
+                        not added — ``quirk_replace=False`` gives the intended
+                        additive mix. Partner comes from a batch permutation
+                        (the reference draws a random clean sample).
+- ``shuffle_chunks``  — 0.5 s chunk permutation (audio.py:55-67), including
+                        gen_even_slices sizing (first size%n chunks one longer)
+- ``cutout``          — zero a random 25% window (audio.py:70-79)
+- ``flip``            — reverse valid samples (transforms.py:68-81)
+- ``sample_segment``  — random sub-segment crop-in-place (transforms.py:236-253)
+- ``effects_chain``   — sox reverb/pitch/overdrive/speed equivalent
+                        (transforms.py:84-108): synthetic-IR FFT reverb,
+                        tanh-waveshaper overdrive, and a combined
+                        pitch+speed resample (sox ``speed`` semantics; the
+                        reference's pitch/speed both perturb rate/pitch —
+                        here one resample with factor speed * 2^(cents/1200)).
+
+Probabilities are multiplied by a traced ``scale`` so the epoch-gated
+switch-off (reference Compose.switch_off_augmentations, transforms.py:362-365)
+is a scalar input, not a recompile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+SR = 44100
+
+
+def _per_sample_keys(key: jax.Array, batch: int, n: int):
+    keys = jax.random.split(key, batch * n).reshape(batch, n, 2)
+    return [keys[:, i] for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# MixUp-OR (reference ops/audio.py:32-52)
+# ---------------------------------------------------------------------------
+
+
+def mixup_or(
+    wave: jnp.ndarray,
+    lengths: jnp.ndarray,
+    labels: jnp.ndarray,
+    key: jax.Array,
+    p: float | jnp.ndarray,
+    quirk_replace: bool = True,
+):
+    """Batch-internal MixUp with OR'd labels.
+
+    For each selected sample, pairs it with a random other batch row: the
+    shorter clip is written into a random window of the longer, which was
+    scaled by a ~ U(0.4, 0.6); labels are clipped-sum OR. ``quirk_replace``
+    reproduces the reference's window *replacement* (audio.py:50 ``=+``).
+    """
+    b, l = wave.shape
+    k_perm, k_apply, k_a, k_start = jax.random.split(key, 4)
+
+    perm = jax.random.permutation(k_perm, b)
+    wave2, len2, lab2 = wave[perm], lengths[perm], labels[perm]
+
+    apply = jax.random.bernoulli(k_apply, jnp.clip(p, 0.0, 1.0), (b,))
+    a = jax.random.uniform(k_a, (b,), minval=0.4, maxval=0.6)
+
+    first_longer = lengths >= len2
+    longer = jnp.where(first_longer[:, None], wave, wave2)
+    shorter = jnp.where(first_longer[:, None], wave2, wave)
+    longer_len = jnp.maximum(lengths, len2)
+    shorter_len = jnp.minimum(lengths, len2)
+
+    span = jnp.maximum(longer_len - shorter_len, 1)
+    start = (jax.random.uniform(k_start, (b,)) * span).astype(jnp.int32)
+
+    # place shorter at [start, start+shorter_len): roll is wrap-free because
+    # start <= longer_len - shorter_len <= L - shorter_len
+    shifted = jax.vmap(jnp.roll)(shorter, start)
+    idx = jnp.arange(l)[None, :]
+    window = (idx >= start[:, None]) & (idx < (start + shorter_len)[:, None])
+
+    scaled_longer = longer * a[:, None]
+    if quirk_replace:
+        mixed = jnp.where(window, shifted * (1.0 - a[:, None]), scaled_longer)
+    else:
+        mixed = scaled_longer + jnp.where(
+            window, shifted * (1.0 - a[:, None]), 0.0
+        )
+
+    equal = lengths == len2
+    mixed = jnp.where(equal[:, None], (wave + wave2) * 0.5, mixed)
+
+    new_labels = jnp.clip(labels + lab2, 0.0, 1.0)
+    out_wave = jnp.where(apply[:, None], mixed, wave)
+    out_len = jnp.where(apply, longer_len, lengths)
+    out_labels = jnp.where(apply[:, None], new_labels, labels)
+    return out_wave, out_len.astype(lengths.dtype), out_labels
+
+
+# ---------------------------------------------------------------------------
+# Chunk shuffle (reference ops/audio.py:55-67)
+# ---------------------------------------------------------------------------
+
+
+def _even_slice_sizes(size: jnp.ndarray, n: jnp.ndarray, max_chunks: int):
+    """sklearn gen_even_slices sizing: first (size % n) chunks get +1."""
+    base = size // jnp.maximum(n, 1)
+    rem = size % jnp.maximum(n, 1)
+    i = jnp.arange(max_chunks)
+    sizes = jnp.where(i < n, base + (i < rem), 0)
+    return sizes
+
+
+def shuffle_chunks(
+    wave: jnp.ndarray,
+    lengths: jnp.ndarray,
+    key: jax.Array,
+    p: float | jnp.ndarray,
+    chunk_seconds: float = 0.5,
+    sr: int = SR,
+    max_chunks: int = 64,
+):
+    """Split the valid region into ~0.5 s chunks and permute them."""
+    b, l = wave.shape
+    k_apply, k_perm = jax.random.split(key)
+    apply = jax.random.bernoulli(k_apply, jnp.clip(p, 0.0, 1.0), (b,))
+
+    n_chunks = jnp.minimum(
+        (lengths.astype(jnp.float32) / sr / chunk_seconds).astype(jnp.int32),
+        max_chunks,
+    )
+    active = n_chunks >= 2  # reference returns input for 0/1 chunks
+
+    def one(w, length, n, k):
+        sizes = _even_slice_sizes(length, n, max_chunks)
+        starts = jnp.concatenate([jnp.zeros(1, sizes.dtype),
+                                  jnp.cumsum(sizes)[:-1]])
+        # random permutation of the first n chunks (invalid chunks sort last)
+        u = jax.random.uniform(k, (max_chunks,))
+        u = jnp.where(jnp.arange(max_chunks) < n, u, 2.0)
+        perm = jnp.argsort(u)
+        perm_sizes = sizes[perm]
+        perm_offsets = jnp.concatenate(
+            [jnp.zeros(1, sizes.dtype), jnp.cumsum(perm_sizes)[:-1]])
+        # output position j -> source chunk c with offset
+        j = jnp.arange(l)
+        c = jnp.clip(
+            jnp.searchsorted(jnp.cumsum(perm_sizes), j, side="right"),
+            0, max_chunks - 1)
+        src = starts[perm[c]] + (j - perm_offsets[c])
+        src = jnp.clip(src, 0, l - 1)
+        shuffled = w[src]
+        return jnp.where(j < length, shuffled, w)
+
+    keys = jax.random.split(k_perm, b)
+    shuffled = jax.vmap(one)(wave, lengths, jnp.maximum(n_chunks, 2), keys)
+    use = (apply & active)[:, None]
+    return jnp.where(use, shuffled, wave)
+
+
+# ---------------------------------------------------------------------------
+# CutOut (reference ops/audio.py:70-79)
+# ---------------------------------------------------------------------------
+
+
+def cutout(
+    wave: jnp.ndarray,
+    lengths: jnp.ndarray,
+    key: jax.Array,
+    p: float | jnp.ndarray,
+    area: float = 0.25,
+):
+    """Zero a random window of ``area`` x valid length (clipped at the end)."""
+    b, l = wave.shape
+    k_apply, k_start = jax.random.split(key)
+    apply = jax.random.bernoulli(k_apply, jnp.clip(p, 0.0, 1.0), (b,))
+    width = (lengths.astype(jnp.float32) * area).astype(jnp.int32)
+    start = (
+        jax.random.uniform(k_start, (b,)) * lengths.astype(jnp.float32)
+    ).astype(jnp.int32)
+    idx = jnp.arange(l)[None, :]
+    window = (idx >= start[:, None]) & (idx < (start + width)[:, None])
+    out = jnp.where(window & apply[:, None], 0.0, wave)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Flip (reference ops/transforms.py:68-81)
+# ---------------------------------------------------------------------------
+
+
+def flip(
+    wave: jnp.ndarray,
+    lengths: jnp.ndarray,
+    key: jax.Array,
+    p: float | jnp.ndarray,
+):
+    """Reverse the valid region (padding stays in place)."""
+    b, l = wave.shape
+    apply = jax.random.bernoulli(key, jnp.clip(p, 0.0, 1.0), (b,))
+    idx = jnp.arange(l)[None, :]
+    rev = jnp.clip(lengths[:, None] - 1 - idx, 0, l - 1)
+    src = jnp.where(idx < lengths[:, None], rev, idx)
+    flipped = jnp.take_along_axis(wave, src, axis=1)
+    return jnp.where(apply[:, None], flipped, wave)
+
+
+# ---------------------------------------------------------------------------
+# Segment crop (reference ops/transforms.py:236-253)
+# ---------------------------------------------------------------------------
+
+
+def sample_segment(
+    wave: jnp.ndarray,
+    lengths: jnp.ndarray,
+    key: jax.Array,
+    p: float | jnp.ndarray,
+    ratio=(0.3, 0.9),
+):
+    """Random sub-segment: new length ~ U(ratio) x length, shifted to 0."""
+    b, l = wave.shape
+    k_apply, k_ratio, k_start = jax.random.split(key, 3)
+    apply = jax.random.bernoulli(k_apply, jnp.clip(p, 0.0, 1.0), (b,))
+    r = jax.random.uniform(k_ratio, (b,), minval=ratio[0], maxval=ratio[1])
+    new_len = jnp.maximum((lengths.astype(jnp.float32) * r), 1.0).astype(
+        jnp.int32
+    )
+    span = jnp.maximum(lengths - new_len, 1)
+    start = (jax.random.uniform(k_start, (b,)) * span).astype(jnp.int32)
+    shifted = jax.vmap(lambda w, s: jnp.roll(w, -s))(wave, start)
+    idx = jnp.arange(l)[None, :]
+    cropped = jnp.where(idx < new_len[:, None], shifted, 0.0)
+    out_wave = jnp.where(apply[:, None], cropped, wave)
+    out_len = jnp.where(apply, new_len, lengths)
+    return out_wave, out_len.astype(lengths.dtype)
+
+
+# ---------------------------------------------------------------------------
+# sox-equivalent effects chain (reference ops/transforms.py:84-108)
+# ---------------------------------------------------------------------------
+
+IR_SECONDS = 0.4
+
+
+def _synthetic_ir(key, reverberance, room_scale, sr, ir_len):
+    """Exponentially decaying noise impulse response.
+
+    reverberance (0-50) -> RT60 in [0.05, 0.8] s; room_scale (0-50) ->
+    pre-delay up to ~25 ms. A standard synthetic-RIR stand-in for sox's
+    freeverb (reference reverb params, transforms.py:97-101).
+    """
+    t = jnp.arange(ir_len) / sr
+    rt60 = 0.05 + (reverberance / 50.0) * 0.75
+    decay = jnp.exp(-6.907755 * t / rt60)  # ln(1000) ~ -60 dB at RT60
+    noise = jax.random.normal(key, (ir_len,))
+    predelay = (room_scale / 50.0) * 0.025
+    gate = (t >= predelay).astype(jnp.float32)
+    ir = noise * decay * gate
+    ir = ir / (jnp.sqrt(jnp.sum(ir * ir)) + 1e-8)
+    return ir
+
+
+def reverb(
+    wave: jnp.ndarray,
+    lengths: jnp.ndarray,
+    key: jax.Array,
+    reverberance: jnp.ndarray,
+    room_scale: jnp.ndarray,
+    sr: int = SR,
+):
+    """FFT convolution with a synthetic RIR; ~50/50 wet-dry at max."""
+    b, l = wave.shape
+    ir_len = int(IR_SECONDS * sr)
+    fft_len = l + ir_len
+    keys = jax.random.split(key, b)
+
+    def one(w, k, rev, room, length):
+        ir = _synthetic_ir(k, rev, room, sr, ir_len)
+        W = jnp.fft.rfft(w, fft_len)
+        H = jnp.fft.rfft(ir, fft_len)
+        wet = jnp.fft.irfft(W * H, fft_len)[:l]
+        mix = 0.5 * rev / 50.0
+        out = (1.0 - mix) * w + mix * wet
+        return out
+
+    out = jax.vmap(one)(wave, keys, reverberance, room_scale, lengths)
+    new_len = jnp.minimum(lengths + ir_len, l)
+    return out, new_len.astype(lengths.dtype)
+
+
+def overdrive(wave: jnp.ndarray, gain_db: jnp.ndarray):
+    """tanh waveshaper at ``gain_db`` drive (sox overdrive stand-in).
+
+    Output is bounded to (-1, 1) by the tanh itself; no post-normalization
+    (which would push low-drive samples past full scale)."""
+    g = 10.0 ** (gain_db / 20.0)
+    return jnp.tanh(wave * g[:, None])
+
+
+def resample_rate(
+    wave: jnp.ndarray, lengths: jnp.ndarray, factor: jnp.ndarray
+):
+    """Linear-interpolation playback-rate change by per-sample ``factor``.
+
+    factor > 1 -> faster & higher (shorter); sox ``speed`` semantics. Output
+    stays in the same static buffer; tails beyond it are dropped.
+    """
+    b, l = wave.shape
+    idx = jnp.arange(l)[None, :].astype(jnp.float32) * factor[:, None]
+    i0 = jnp.floor(idx).astype(jnp.int32)
+    frac = idx - i0
+    i0c = jnp.clip(i0, 0, l - 1)
+    i1c = jnp.clip(i0 + 1, 0, l - 1)
+    out = (
+        jnp.take_along_axis(wave, i0c, axis=1) * (1 - frac)
+        + jnp.take_along_axis(wave, i1c, axis=1) * frac
+    )
+    new_len = jnp.minimum(
+        (lengths.astype(jnp.float32) / factor).astype(jnp.int32), l
+    )
+    valid_src = idx < lengths[:, None].astype(jnp.float32)
+    out = jnp.where(valid_src, out, 0.0)
+    return out, jnp.maximum(new_len, 1).astype(lengths.dtype)
+
+
+def effects_chain(
+    wave: jnp.ndarray,
+    lengths: jnp.ndarray,
+    key: jax.Array,
+    p: float | jnp.ndarray,
+    sr: int = SR,
+):
+    """reverb -> overdrive -> pitch+speed resample, per-sample randomized.
+
+    Parameter ranges follow the reference chain (transforms.py:94-105):
+    reverberance/room_scale ~ U[0, 50), pitch shift ~ U[-300, 300) cents,
+    overdrive gain ~ U[2, 10) dB, speed ~ U[0.9, 1.1). Pitch and speed are
+    one combined resample (factor = speed * 2^(cents/1200)).
+    """
+    b, l = wave.shape
+    k_apply, k_rev, k_room, k_pitch, k_gain, k_speed, k_ir = (
+        jax.random.split(key, 7)
+    )
+    apply = jax.random.bernoulli(k_apply, jnp.clip(p, 0.0, 1.0), (b,))
+
+    reverberance = jax.random.uniform(k_rev, (b,), minval=0.0, maxval=50.0)
+    room = jax.random.uniform(k_room, (b,), minval=0.0, maxval=50.0)
+    cents = jax.random.uniform(k_pitch, (b,), minval=-300.0, maxval=300.0)
+    gain = jax.random.uniform(k_gain, (b,), minval=2.0, maxval=10.0)
+    speed = jax.random.uniform(k_speed, (b,), minval=0.9, maxval=1.1)
+
+    out, new_len = reverb(wave, lengths, k_ir, reverberance, room, sr)
+    out = overdrive(out, gain)
+    factor = speed * jnp.exp2(cents / 1200.0)
+    out, new_len = resample_rate(out, new_len, factor)
+
+    wave_out = jnp.where(apply[:, None], out, wave)
+    len_out = jnp.where(apply, new_len, lengths)
+    return wave_out, len_out.astype(lengths.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline assembly (the reference Compose of augmentations,
+# train_2d_cnn.py:310-322)
+# ---------------------------------------------------------------------------
+
+
+class AugmentConfig(NamedTuple):
+    p_mixup: float = 0.0
+    p_aug: float = 0.0  # effects chain
+    p_shuffle: float = 0.0  # 0.5 for non-rnn models (train_2d_cnn.py:314-317)
+    p_cutout: float = 0.0
+    p_flip: float = 0.0
+    mixup_quirk_replace: bool = True
+    sr: int = SR
+
+
+def make_augmenter(cfg: AugmentConfig):
+    """Build fn(wave, lengths, labels, key, scale) matching the reference
+    train pipeline order: shuffle -> mixup -> effects (train_2d_cnn.py:310-322).
+    ``scale`` in [0, 1] multiplies every probability (epoch-gated switch-off).
+    Returns None when every probability is zero (skips the work entirely).
+    """
+    if not any((cfg.p_mixup, cfg.p_aug, cfg.p_shuffle, cfg.p_cutout,
+                cfg.p_flip)):
+        return None
+
+    def augment(wave, lengths, labels, key, scale):
+        keys = jax.random.split(key, 5)
+        if cfg.p_shuffle:
+            wave = shuffle_chunks(
+                wave, lengths, keys[0], cfg.p_shuffle * scale, sr=cfg.sr
+            )
+        if cfg.p_flip:
+            wave = flip(wave, lengths, keys[1], cfg.p_flip * scale)
+        if cfg.p_mixup:
+            wave, lengths, labels = mixup_or(
+                wave, lengths, labels, keys[2], cfg.p_mixup * scale,
+                quirk_replace=cfg.mixup_quirk_replace,
+            )
+        if cfg.p_aug:
+            wave, lengths = effects_chain(
+                wave, lengths, keys[3], cfg.p_aug * scale, sr=cfg.sr
+            )
+        if cfg.p_cutout:
+            wave = cutout(wave, lengths, keys[4], cfg.p_cutout * scale)
+        return wave, lengths, labels
+
+    return augment

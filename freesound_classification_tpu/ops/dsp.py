@@ -1,0 +1,345 @@
+"""Core audio DSP: STFT, mel filterbanks, fused log-mel featurization.
+
+TPU-native counterpart of the reference's on-device featurizer
+(reference: ops/utils.py:85-127 ``compute_torch_stft``/``make_mel_filterbanks``
+and the mel conv1d + log at networks/classifiers.py:574-579). The reference
+computes ``torch.stft`` (hann window, center-reflect padding, one-sided
+spectrum) followed by a conv1d against a librosa mel filterbank and
+``log(x + 1e-4)``. Here the whole chain is one jittable function: framing is a
+strided gather, the FFT is XLA's native rFFT, and the mel projection is a
+matmul that XLA fuses with magnitude and log (a Pallas fused kernel for the
+mel+log stage lives in ``pallas_kernels.py``).
+
+Everything is static-shape: the number of frames is a pure function of the
+(padded, bucketed) waveform length, so a handful of bucket lengths compile to
+a handful of programs.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LOG_EPS = 1e-4  # reference: networks/classifiers.py:579, ops/transforms.py:130
+
+
+# ---------------------------------------------------------------------------
+# Feature descriptors ("mel_2048_1024_128" / "stft_1024_256" / "raw")
+# reference: ops/transforms.py:150-233 (AudioFeatures), ops/utils.py:102-107
+# ---------------------------------------------------------------------------
+
+
+class FeatureDescriptor(NamedTuple):
+    """Parsed feature descriptor string.
+
+    kind: "mel" | "stft" | "raw"
+    n_fft/hop_size: STFT params (0 for "raw")
+    n_mel: mel band count (0 unless kind == "mel")
+    """
+
+    kind: str
+    n_fft: int
+    hop_size: int
+    n_mel: int
+
+    @property
+    def n_features(self) -> int:
+        if self.kind == "mel":
+            return self.n_mel
+        if self.kind == "stft":
+            return self.n_fft // 2 + 1
+        return 1
+
+    @property
+    def padding_value(self) -> float:
+        return 0.0
+
+    @property
+    def descriptor(self) -> str:
+        if self.kind == "mel":
+            return f"mel_{self.n_fft}_{self.hop_size}_{self.n_mel}"
+        if self.kind == "stft":
+            return f"stft_{self.n_fft}_{self.hop_size}"
+        return "raw"
+
+
+def parse_features(descriptor: str) -> FeatureDescriptor:
+    """Parse "mel_<nfft>_<hop>_<nmel>", "stft_<nfft>_<hop>" or "raw"."""
+    name, *args = descriptor.split("_")
+    if name == "mel":
+        n_fft, hop, n_mel = (int(a) for a in args)
+        return FeatureDescriptor("mel", n_fft, hop, n_mel)
+    if name == "stft":
+        n_fft, hop = (int(a) for a in args)
+        return FeatureDescriptor("stft", n_fft, hop, 0)
+    if name == "raw":
+        return FeatureDescriptor("raw", 0, 0, 0)
+    raise ValueError(f"unknown feature descriptor: {descriptor!r}")
+
+
+def is_mel(descriptor: str) -> bool:
+    return descriptor.startswith("mel")
+
+
+def is_stft(descriptor: str) -> bool:
+    return descriptor.startswith("stft")
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbank (librosa-compatible Slaney mel, implemented from scratch)
+# reference: ops/utils.py:85-99 (librosa.filters.mel, fmin=5, fmax=None)
+# ---------------------------------------------------------------------------
+
+
+def _hz_to_mel_slaney(freqs: np.ndarray) -> np.ndarray:
+    """Slaney-style Hz->mel: linear below 1 kHz, log above."""
+    freqs = np.asarray(freqs, dtype=np.float64)
+    f_sp = 200.0 / 3
+    mels = freqs / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = math.log(6.4) / 27.0
+    log_region = freqs >= min_log_hz
+    mels = np.where(
+        log_region,
+        min_log_mel + np.log(np.maximum(freqs, 1e-10) / min_log_hz) / logstep,
+        mels,
+    )
+    return mels
+
+
+def _mel_to_hz_slaney(mels: np.ndarray) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    f_sp = 200.0 / 3
+    freqs = mels * f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = math.log(6.4) / 27.0
+    log_region = mels >= min_log_mel
+    freqs = np.where(
+        log_region, min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs
+    )
+    return freqs
+
+
+def mel_filterbank(
+    sr: int,
+    n_fft: int,
+    n_mels: int,
+    fmin: float = 5.0,
+    fmax: float | None = None,
+    dtype=np.float32,
+) -> np.ndarray:
+    """Triangular Slaney-normalized mel filterbank, shape (n_mels, 1 + n_fft//2).
+
+    Numerically equivalent to ``librosa.filters.mel(sr, n_fft, n_mels, fmin=5,
+    fmax=None)`` with librosa defaults (htk=False, norm="slaney") as used by
+    the reference (ops/utils.py:94-97), built from first principles so the
+    framework carries no librosa dependency.
+    """
+    if fmax is None:
+        fmax = sr / 2.0
+
+    fftfreqs = np.linspace(0.0, sr / 2.0, 1 + n_fft // 2)
+    mel_edges = np.linspace(
+        _hz_to_mel_slaney(np.array(fmin)),
+        _hz_to_mel_slaney(np.array(fmax)),
+        n_mels + 2,
+    )
+    mel_f = _mel_to_hz_slaney(mel_edges)
+
+    fdiff = np.diff(mel_f)
+    ramps = mel_f[:, None] - fftfreqs[None, :]
+
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+
+    # Slaney normalization: each triangle integrates to ~constant energy.
+    enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
+    weights *= enorm[:, None]
+
+    return weights.astype(dtype)
+
+
+def make_mel_filterbanks(descriptor: str, sr: int = 44100) -> np.ndarray:
+    """Filterbank from a "mel_<nfft>_<hop>_<nmel>" descriptor (fmin=5 Hz)."""
+    feat = parse_features(descriptor)
+    if feat.kind != "mel":
+        raise ValueError(f"not a mel descriptor: {descriptor!r}")
+    return mel_filterbank(sr=sr, n_fft=feat.n_fft, n_mels=feat.n_mel, fmin=5.0)
+
+
+# ---------------------------------------------------------------------------
+# STFT (torch.stft-parity: hann window, center reflect pad, one-sided)
+# reference: ops/utils.py:110-127
+# ---------------------------------------------------------------------------
+
+
+def hann_window(n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic hann window, matching ``torch.hann_window(n)``."""
+    k = jnp.arange(n, dtype=jnp.float32)
+    w = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * k / n)
+    return w.astype(dtype)
+
+
+def num_stft_frames(length: int, n_fft: int, hop_size: int) -> int:
+    """Frame count of a center-padded STFT over `length` samples (static)."""
+    return 1 + (length + 2 * (n_fft // 2) - n_fft) // hop_size
+
+
+def frame_signal(x: jnp.ndarray, n_fft: int, hop_size: int) -> jnp.ndarray:
+    """Center-pad (reflect) and slice ``x`` (..., L) into overlapping frames.
+
+    Returns (..., n_frames, n_fft). The gather is a static strided pattern
+    XLA turns into an efficient copy.
+    """
+    pad = n_fft // 2
+    pad_width = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+    xp = jnp.pad(x, pad_width, mode="reflect")
+    length = x.shape[-1]
+    n_frames = num_stft_frames(length, n_fft, hop_size)
+    starts = jnp.arange(n_frames) * hop_size
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
+    return jnp.take(xp, idx, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_size"))
+def stft_magnitude(x: jnp.ndarray, n_fft: int, hop_size: int) -> jnp.ndarray:
+    """One-sided STFT magnitude of (..., L) -> (..., F, T), F = n_fft//2 + 1.
+
+    Matches ``sqrt(re^2 + im^2)`` of ``torch.stft(x, n_fft, hop, hann)``
+    (center=True, reflect padding, not normalized, one-sided) as used at
+    reference ops/utils.py:118-125, including the (F, T) output layout.
+    """
+    frames = frame_signal(x, n_fft, hop_size)
+    frames = frames * hann_window(n_fft, dtype=frames.dtype)
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+    mag = jnp.abs(spec)
+    return jnp.swapaxes(mag, -1, -2)
+
+
+def compute_stft_descriptor(x: jnp.ndarray, descriptor: str) -> jnp.ndarray:
+    """STFT magnitude from a descriptor string (mel/stft share the params)."""
+    feat = parse_features(descriptor)
+    return stft_magnitude(x, feat.n_fft, feat.hop_size)
+
+
+# ---------------------------------------------------------------------------
+# Fused log-mel / log-stft featurization (the per-model device front-end)
+# reference: networks/classifiers.py:563-579
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_size"))
+def _logmel_xla(
+    x: jnp.ndarray, fb_t: jnp.ndarray, n_fft: int, hop_size: int
+) -> jnp.ndarray:
+    frames = frame_signal(x, n_fft, hop_size)
+    frames = frames * hann_window(n_fft, dtype=frames.dtype)
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+    mag = jnp.abs(spec)  # (..., T, F)
+    mel = jnp.einsum(
+        "...tf,fm->...tm", mag, fb_t, preferred_element_type=jnp.float32
+    )
+    out = jnp.log(mel + LOG_EPS)
+    return jnp.swapaxes(out, -1, -2)  # (..., M, T)
+
+
+def log_mel_spectrogram(
+    x: jnp.ndarray,
+    filterbank: jnp.ndarray,
+    n_fft: int,
+    hop_size: int,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Waveform (..., L) -> log-mel (..., n_mels, T).
+
+    Fuses STFT magnitude, the mel projection matmul (the reference's conv1d
+    against the filterbank, networks/classifiers.py:574-578) and
+    ``log(x + 1e-4)``. With ``use_pallas=True`` the magnitude+mel+log stage
+    runs as a single Pallas TPU kernel (see pallas_kernels.mel_project_log).
+    """
+    fb_t = jnp.asarray(filterbank).T  # (F, M)
+    if use_pallas:
+        from freesound_classification_tpu.ops import pallas_kernels
+
+        frames = frame_signal(x, n_fft, hop_size)
+        frames = frames * hann_window(n_fft, dtype=frames.dtype)
+        spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+        return pallas_kernels.mel_project_log(spec, fb_t)
+    return _logmel_xla(x, fb_t, n_fft, hop_size)
+
+
+def log_stft_spectrogram(x: jnp.ndarray, n_fft: int, hop_size: int) -> jnp.ndarray:
+    """Waveform (..., L) -> log STFT magnitude (..., F, T).
+
+    The "stft_*" descriptor path: log(|STFT| + 1e-4)
+    (reference networks/classifiers.py:571-572).
+    """
+    return jnp.log(stft_magnitude(x, n_fft, hop_size) + LOG_EPS)
+
+
+def featurize(
+    x: jnp.ndarray,
+    descriptor: str,
+    filterbank: jnp.ndarray | None = None,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Dispatch a waveform batch through the descriptor's featurizer.
+
+    x: (..., L) waveform. Returns (..., n_features, T) for mel/stft, or
+    (..., 1, L) for "raw".
+    """
+    feat = parse_features(descriptor)
+    if feat.kind == "mel":
+        if filterbank is None:
+            filterbank = jnp.asarray(make_mel_filterbanks(descriptor))
+        return log_mel_spectrogram(
+            x, filterbank, feat.n_fft, feat.hop_size, use_pallas=use_pallas
+        )
+    if feat.kind == "stft":
+        return log_stft_spectrogram(x, feat.n_fft, feat.hop_size)
+    return x[..., None, :]
+
+
+def feature_frames(length: int, descriptor: str) -> int:
+    """Number of feature frames produced for a waveform of `length` samples."""
+    feat = parse_features(descriptor)
+    if feat.kind == "raw":
+        return length
+    return num_stft_frames(length, feat.n_fft, feat.hop_size)
+
+
+# ---------------------------------------------------------------------------
+# Host-side scipy-convention STFT
+# reference: ops/audio.py:10-19 (compute_stft via scipy.signal.stft) — used by
+# the finetune CLI's CPU featurization path (finetune_hierarchical_cnn.py:237)
+# ---------------------------------------------------------------------------
+
+
+def compute_stft_host(
+    audio: np.ndarray,
+    window_size: int,
+    hop_size: int,
+    log: bool = True,
+    eps: float = LOG_EPS,
+) -> np.ndarray:
+    """scipy.signal.stft magnitude (host), matching reference compute_stft.
+
+    Note the reference passes its ``hop_size`` as scipy's ``noverlap``
+    (ops/audio.py:11-12), so the effective hop is ``window_size - hop_size``.
+    We reproduce that exact convention.
+    """
+    import scipy.signal
+
+    _, _, s = scipy.signal.stft(audio, nperseg=window_size, noverlap=hop_size)
+    s = np.abs(s)
+    if log:
+        s = np.log(s + eps)
+    return s

@@ -1,0 +1,162 @@
+"""On-device augmentation tests: semantics, masking, PRNG determinism."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from freesound_classification_tpu.ops import augment
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _batch(b=4, l=2000, seed=0):
+    rng = np.random.RandomState(seed)
+    wave = rng.randn(b, l).astype("f4") * 0.1
+    lengths = np.array([l, l // 2, l // 3, l])[:b].astype("i4")
+    for i in range(b):
+        wave[i, lengths[i]:] = 0.0
+    labels = np.eye(b, 6, dtype="f4")
+    return jnp.asarray(wave), jnp.asarray(lengths), jnp.asarray(labels)
+
+
+class TestMixup:
+    def test_p_zero_identity(self):
+        w, l, y = _batch()
+        w2, l2, y2 = augment.mixup_or(w, l, y, KEY, 0.0)
+        np.testing.assert_array_equal(w, w2)
+        np.testing.assert_array_equal(y, y2)
+
+    def test_labels_are_ored(self):
+        w, l, y = _batch()
+        _, _, y2 = augment.mixup_or(w, l, y, KEY, 1.0)
+        assert ((y2 == 0) | (y2 == 1)).all()
+        # every row's label count >= original (OR with partner)
+        assert (y2.sum(1) >= y.sum(1) - 1e-6).all()
+
+    def test_mix_coefficient_range(self):
+        # equal lengths -> exact mean (reference audio.py:40-41)
+        rng = np.random.RandomState(1)
+        w = jnp.asarray(rng.randn(2, 100).astype("f4"))
+        l = jnp.asarray([100, 100])
+        y = jnp.asarray(np.eye(2, 4, dtype="f4"))
+        w2, l2, _ = augment.mixup_or(w, l, y, KEY, 1.0)
+        # partner is a permutation: either identity (no change) or swap (mean)
+        mean = np.asarray((w[0] + w[1]) / 2)
+        same = np.allclose(w2[0], w[0])
+        is_mean = np.allclose(w2[0], mean, atol=1e-6)
+        assert same or is_mean
+
+    def test_deterministic_under_key(self):
+        w, l, y = _batch()
+        a = augment.mixup_or(w, l, y, KEY, 0.7)
+        b = augment.mixup_or(w, l, y, KEY, 0.7)
+        for x, z in zip(a, b):
+            np.testing.assert_array_equal(x, z)
+
+    def test_replace_quirk_vs_add(self):
+        w, l, y = _batch(b=2, l=500, seed=3)
+        ra = augment.mixup_or(w, l, y, KEY, 1.0, quirk_replace=True)
+        rb = augment.mixup_or(w, l, y, KEY, 1.0, quirk_replace=False)
+        # same randomness, different mixing rule -> generally different audio
+        if not np.allclose(ra[0], w):  # only when mixup applied
+            assert not np.allclose(ra[0], rb[0])
+
+
+class TestShuffle:
+    def test_preserves_multiset_of_valid_samples(self):
+        w, l, _ = _batch(b=2, l=44100 * 2, seed=4)  # 2s -> 4 chunks
+        w2 = augment.shuffle_chunks(w, l, KEY, 1.0)
+        for i in range(2):
+            a = np.sort(np.asarray(w[i, : l[i]]))
+            b = np.sort(np.asarray(w2[i, : l[i]]))
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_short_clip_untouched(self):
+        # < 2 chunks -> identity (reference audio.py:59-60)
+        w = jnp.asarray(np.random.RandomState(0).randn(1, 44100).astype("f4"))
+        l = jnp.asarray([10000])  # ~0.2s -> 0 chunks
+        w2 = augment.shuffle_chunks(w, l, KEY, 1.0)
+        np.testing.assert_array_equal(w, w2)
+
+
+class TestCutout:
+    def test_zeros_a_window(self):
+        w = jnp.ones((1, 1000))
+        l = jnp.asarray([1000])
+        w2 = augment.cutout(w, l, KEY, 1.0, area=0.25)
+        zeros = int((np.asarray(w2) == 0).sum())
+        assert 1 <= zeros <= 251
+
+    def test_p_zero(self):
+        w, l, _ = _batch()
+        np.testing.assert_array_equal(w, augment.cutout(w, l, KEY, 0.0))
+
+
+class TestFlip:
+    def test_reverses_valid_region(self):
+        w = jnp.asarray(np.arange(10, dtype="f4")[None, :])
+        l = jnp.asarray([6])
+        w2 = augment.flip(w, l, KEY, 1.0)
+        np.testing.assert_array_equal(
+            np.asarray(w2[0]), [5, 4, 3, 2, 1, 0, 6, 7, 8, 9]
+        )
+
+
+class TestSegment:
+    def test_crop_shrinks_length(self):
+        w, l, _ = _batch()
+        w2, l2 = augment.sample_segment(w, l, KEY, 1.0, ratio=(0.3, 0.5))
+        assert (l2 <= l).all()
+        assert (l2 >= (0.29 * np.asarray(l)).astype(int)).all()
+
+
+class TestEffects:
+    def test_shapes_and_finiteness(self):
+        w, l, _ = _batch(b=3, l=8192, seed=5)
+        w2, l2 = augment.effects_chain(w, l, KEY, 1.0, sr=8192)
+        assert w2.shape == w.shape
+        assert np.isfinite(np.asarray(w2)).all()
+        assert (np.asarray(l2) >= 1).all()
+
+    def test_p_zero_identity(self):
+        w, l, _ = _batch(b=2, l=4096)
+        w2, l2 = augment.effects_chain(w, l, KEY, 0.0, sr=4096)
+        np.testing.assert_array_equal(w, w2)
+        np.testing.assert_array_equal(l, l2)
+
+    def test_overdrive_bounded(self):
+        w = jnp.asarray(np.random.RandomState(0).randn(2, 100).astype("f4"))
+        out = augment.overdrive(w, jnp.asarray([2.0, 10.0]))
+        assert float(jnp.abs(out).max()) <= 1.01
+
+    def test_resample_rate(self):
+        t = np.arange(4000) / 4000
+        w = jnp.asarray(np.sin(2 * np.pi * 10 * t)[None, :].astype("f4"))
+        l = jnp.asarray([4000])
+        out, l2 = augment.resample_rate(w, l, jnp.asarray([2.0]))
+        assert int(l2[0]) == 2000
+        # double speed -> first half contains the full (compressed) signal
+        np.testing.assert_allclose(
+            np.asarray(out[0, :1999]), np.asarray(w[0, ::2][:1999]), atol=1e-2
+        )
+
+
+class TestPipeline:
+    def test_make_augmenter_none_when_disabled(self):
+        assert augment.make_augmenter(augment.AugmentConfig()) is None
+
+    def test_full_pipeline_jits(self):
+        cfg = augment.AugmentConfig(
+            p_mixup=0.5, p_aug=0.5, p_shuffle=0.5, sr=4096
+        )
+        fn = augment.make_augmenter(cfg)
+        w, l, y = _batch(b=4, l=4096)
+        jitted = jax.jit(fn)
+        w2, l2, y2 = jitted(w, l, y, KEY, jnp.float32(1.0))
+        assert w2.shape == w.shape and y2.shape == y.shape
+        assert np.isfinite(np.asarray(w2)).all()
+        # scale=0 disables everything
+        w3, l3, y3 = jitted(w, l, y, KEY, jnp.float32(0.0))
+        np.testing.assert_array_equal(w, w3)
+        np.testing.assert_array_equal(y, y3)

@@ -1,0 +1,177 @@
+"""End-to-end CLI test: synthetic dataset -> create_class_map -> train_2d_cnn
+(1 fold, tiny model) -> predict_2d_cnn, checking every artifact the reference
+workflow produces (experiment dir, checkpoints, OOF/test prediction CSVs,
+results.json, submission schema)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from freesound_classification_tpu.data import audio_io
+
+SR = 44100
+CLASSES = ["Bark", "Meow", "Siren"]
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    train_dir = root / "train"
+    test_dir = root / "test"
+    train_dir.mkdir()
+    test_dir.mkdir()
+    rng = np.random.RandomState(0)
+    freqs = {"Bark": 250.0, "Meow": 1200.0, "Siren": 4000.0}
+
+    def make_clip(path, label, n):
+        t = np.arange(n) / SR
+        tone = sum(
+            np.sin(2 * np.pi * freqs[c] * t) for c in label.split(","))
+        audio_io.write_wav(str(path), 0.3 * tone + 0.01 * rng.randn(n), SR)
+
+    train_rows = []
+    for i in range(24):
+        label = CLASSES[i % 3] if i % 5 else "Bark,Meow"
+        # 0.6-0.95 s so every clip lands in one bucket of the default ladder
+        n = rng.randint(int(0.6 * SR), int(0.95 * SR))
+        fname = f"train{i}.wav"
+        make_clip(train_dir / fname, label, n)
+        train_rows.append({"fname": fname, "labels": label})
+    train_df = root / "train.csv"
+    pd.DataFrame(train_rows).to_csv(train_df, index=False)
+
+    test_rows = []
+    for i in range(6):
+        fname = f"test{i}.wav"
+        make_clip(test_dir / fname, CLASSES[i % 3], SR // 2)
+        test_rows.append({"fname": fname, "labels": ""})
+    sample_submission = root / "sample_submission.csv"
+    pd.DataFrame(test_rows).to_csv(sample_submission, index=False)
+
+    return {
+        "root": root,
+        "train_df": str(train_df),
+        "train_dir": str(train_dir),
+        "test_dir": str(test_dir),
+        "sample_submission": str(sample_submission),
+    }
+
+
+@pytest.fixture(scope="module")
+def classmap_path(synth_root):
+    from freesound_classification_tpu.cli import create_class_map
+
+    out = str(synth_root["root"] / "classmap.json")
+    create_class_map.main([
+        "--train_dfs", synth_root["train_df"], "--output_file", out])
+    with open(out) as f:
+        cm = json.load(f)
+    assert cm == {"Bark": 0, "Meow": 1, "Siren": 2}
+    return out
+
+
+@pytest.fixture(scope="module")
+def trained_experiment(synth_root, classmap_path):
+    from freesound_classification_tpu.cli import train_2d_cnn
+
+    exp_dir = str(synth_root["root"] / "experiments")
+    train_2d_cnn.main([
+        "--train_df", synth_root["train_df"],
+        "--train_data_dir", synth_root["train_dir"],
+        "--test_data_dir", synth_root["test_dir"],
+        "--sample_submission", synth_root["sample_submission"],
+        "--classmap", classmap_path,
+        "--experiments_dir", exp_dir,
+        "--device", "cpu",
+        "--features", "mel_512_256_32",
+        "--optimizer", "adam",
+        "--lr", "0.003",
+        "--scheduler", "1cycle_0.0003_0.003",
+        "--aggregation_type", "max",
+        "--num_conv_blocks", "2",
+        "--start_deep_supervision_on", "0",
+        "--conv_base_depth", "8",
+        "--batch_size", "8",
+        "--epochs", "2",
+        "--n_folds", "2",
+        "--folds", "0", "1",
+        "--max_audio_length", "1",
+        "--num_workers", "0",
+        "--p_mixup", "0.3",
+        "--label", "e2e_test",
+    ])
+    exps = os.listdir(exp_dir)
+    assert len(exps) == 1
+    return os.path.join(exp_dir, exps[0])
+
+
+class TestTrainCLI:
+    def test_experiment_artifacts(self, trained_experiment):
+        d = trained_experiment
+        for f in ("config.json", "command", "commit_hash", "results.json",
+                  "log"):
+            assert os.path.isfile(os.path.join(d, f)), f
+        for sub in ("checkpoints", "predictions", "summaries"):
+            assert os.path.isdir(os.path.join(d, sub)), sub
+
+    def test_results_registered(self, trained_experiment):
+        with open(os.path.join(trained_experiment, "results.json")) as f:
+            results = json.load(f)
+        assert "metric" in results
+        assert "metric" in results["fold0"] and "metric" in results["fold1"]
+        assert 0.0 <= results["metric"] <= 1.0
+
+    def test_prediction_schema(self, trained_experiment):
+        preds = pd.read_csv(os.path.join(
+            trained_experiment, "predictions", "test_preds_fold_0.csv"))
+        assert list(preds.columns) == CLASSES + ["fname"]
+        assert len(preds) == 6
+        sub = pd.read_csv(os.path.join(
+            trained_experiment, "predictions", "submission.csv"))
+        assert list(sub.columns) == ["fname"] + CLASSES
+        vals = sub[CLASSES].values
+        assert ((vals >= 0) & (vals <= 1)).all()
+
+    def test_oof_covers_all_training_files(self, trained_experiment,
+                                           synth_root):
+        dfs = [pd.read_csv(os.path.join(
+            trained_experiment, "predictions", f"val_preds_fold_{k}.csv"))
+            for k in (0, 1)]
+        oof = pd.concat(dfs)
+        train_df = pd.read_csv(synth_root["train_df"])
+        assert set(oof.fname) == set(train_df.fname)
+        assert len(oof) == len(train_df)
+
+    def test_checkpoints_exist(self, trained_experiment):
+        for fold in (0, 1):
+            assert os.path.isdir(os.path.join(
+                trained_experiment, "checkpoints", f"fold_{fold}",
+                "best_model"))
+            assert os.path.isdir(os.path.join(
+                trained_experiment, "checkpoints", f"fold_{fold}",
+                "final_model"))
+
+
+class TestPredictCLI:
+    def test_predict_writes_schema(self, trained_experiment, synth_root,
+                                   classmap_path):
+        from freesound_classification_tpu.cli import predict_2d_cnn
+
+        out_csv = str(synth_root["root"] / "preds_out.csv")
+        predict_2d_cnn.main([
+            "--experiment", trained_experiment,
+            "--test_df", synth_root["sample_submission"],
+            "--test_data_dir", synth_root["test_dir"],
+            "--classmap", classmap_path,
+            "--output_df", out_csv,
+            "--batch_size", "8",
+            "--num_workers", "0",
+        ])
+        out = pd.read_csv(out_csv)
+        assert list(out.columns) == ["fname"] + CLASSES
+        assert len(out) == 6
+        vals = out[CLASSES].values
+        assert ((vals >= 0) & (vals <= 1)).all()
