@@ -126,6 +126,9 @@ def add_train_arguments(parser: argparse.ArgumentParser) -> None:
     req("--mixup_exact_add", action="store_true", default=False,
         help="use additive mixup instead of the reference's replace quirk "
              "(ops/audio.py:50)")
+    req("--profile", action="store_true", default=False,
+        help="capture a jax.profiler trace of the first post-compile epoch "
+             "into <experiment>/summaries/profile")
 
 
 def experiment_config(args, model_label: str, n_classes: int, input_dim: int,
@@ -218,6 +221,10 @@ def build_engine(args, experiment, model_kind: str, n_classes: int,
                 return None
 
     checkpoints = experiment.register_directory("checkpoints")
+    profile_dir = None
+    if getattr(args, "profile", False):
+        profile_dir = os.path.join(
+            experiment.register_directory("summaries"), "profile")
     return Engine(
         model,
         frontend,
@@ -227,6 +234,7 @@ def build_engine(args, experiment, model_kind: str, n_classes: int,
         checkpoint_dir=checkpoints,
         mesh=mesh,
         summary_writer_factory=writer_factory,
+        profile_dir=profile_dir,
     )
 
 

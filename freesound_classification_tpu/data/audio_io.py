@@ -17,12 +17,29 @@ from typing import Tuple
 import numpy as np
 
 
+def _native():
+    """The C++ decode core (native/fsd_audio.cpp), or None."""
+    try:
+        from freesound_classification_tpu import native
+
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     """Read a WAV file -> (float32 mono waveform in [-1, 1], sample_rate).
 
     Matches librosa.load(sr=None, mono=True) conventions: integer PCM scaled
-    by 2**(bits-1), multi-channel averaged to mono.
+    by 2**(bits-1), multi-channel averaged to mono. Uses the native C++
+    decoder when built; this Python path is the fallback and oracle.
     """
+    native = _native()
+    if native is not None:
+        try:
+            return native.read_wav(path)
+        except ValueError:
+            pass  # non-RIFF edge case: fall through to scipy
     import scipy.io.wavfile as wavfile
 
     sr, data = wavfile.read(path)
@@ -53,6 +70,12 @@ def wav_length(path: str) -> Tuple[int, int]:
     sample data (the reference's BucketingSampler needs dataset.lengths,
     ops/padding.py:49).
     """
+    native = _native()
+    if native is not None:
+        try:
+            return native.wav_info(path)
+        except ValueError:
+            pass
     with wave.open(path, "rb") as w:
         return w.getnframes(), w.getframerate()
 

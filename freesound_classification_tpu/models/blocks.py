@@ -55,6 +55,24 @@ def _bn(train: bool, dtype=None, name=None):
     )
 
 
+class ConvLockedDropout(nn.Module):
+    """Per-channel dropout with the mask shared across time
+    (reference networks/classifiers.py:21-34; unused there, provided for
+    API completeness). Input (B, T, C)."""
+
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if not train or not self.dropout_rate:
+            return x
+        rng = self.make_rng("dropout")
+        keep = jax.random.bernoulli(
+            rng, 1.0 - self.dropout_rate, (x.shape[0], 1, x.shape[-1])
+        )
+        return x * keep.astype(x.dtype)
+
+
 class ResnetBlock1d(nn.Module):
     """1x1 -> 3(pad 1) -> 1x1 conv residual block, BN+PReLU each (1d).
 

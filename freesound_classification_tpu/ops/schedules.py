@@ -52,6 +52,39 @@ def steplr_schedule(base_lr: float, step_size: int, gamma: float, steps_per_epoc
     return schedule
 
 
+def cyclic_schedule(
+    base_lr: float,
+    max_lr: float,
+    step_size: int,
+    mode: str = "triangular",
+    gamma: float = 1.0,
+):
+    """Cyclical LR (Smith 2015), reference ops/training.py:46-197 (CyclicLR,
+    vendored from bckenstler/CLR; dead code there — wired up here as the
+    ``cyclic_<base>_<max>_<stepsize>[_<mode>[_<gamma>]]`` descriptor).
+
+    triangular / triangular2 / exp_range amplitude scaling, per-step.
+    """
+    step_size_f = float(max(step_size, 1))
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        cycle = jnp.floor(1.0 + step / (2.0 * step_size_f))
+        x = jnp.abs(step / step_size_f - 2.0 * cycle + 1.0)
+        base_height = (max_lr - base_lr) * jnp.maximum(0.0, 1.0 - x)
+        if mode == "triangular":
+            scale = 1.0
+        elif mode == "triangular2":
+            scale = 1.0 / (2.0 ** (cycle - 1.0))
+        elif mode == "exp_range":
+            scale = gamma**step
+        else:
+            raise ValueError(f"unknown cyclic mode {mode!r}")
+        return base_lr + base_height * scale
+
+    return schedule
+
+
 def make_schedule(
     descriptor: str,
     base_lr: float,
@@ -72,4 +105,10 @@ def make_schedule(
     if name == "1cycle":
         min_lr, max_lr = float(args[0]), float(args[1])
         return onecycle_schedule(min_lr, max_lr, max_steps)
+    if name == "cyclic":
+        base_lr, max_lr, step_size = (
+            float(args[0]), float(args[1]), int(args[2]))
+        mode = args[3] if len(args) > 3 else "triangular"
+        gamma = float(args[4]) if len(args) > 4 else 1.0
+        return cyclic_schedule(base_lr, max_lr, step_size, mode, gamma)
     raise ValueError(f"unknown scheduler descriptor: {descriptor!r}")

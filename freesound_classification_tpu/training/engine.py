@@ -78,6 +78,7 @@ class Engine:
         self_supervised: bool = False,
         summary_writer_factory=None,
         seed: int = 42,
+        profile_dir: Optional[str] = None,
     ):
         self.model = model
         self.frontend = frontend
@@ -96,6 +97,7 @@ class Engine:
         self._writer_factory = summary_writer_factory
         self.train_writer = None
         self.valid_writer = None
+        self.profile_dir = profile_dir
 
     # ------------------------------------------------------------------
     # step construction
@@ -223,9 +225,28 @@ class Engine:
     def train_epoch(self, train_loader, epoch: int, log_interval: int = 25,
                     aug_scale: float = 1.0) -> dict:
         """One pass over train_loader (reference train_epoch,
-        classifiers.py:633-707)."""
+        classifiers.py:633-707). With ``profile_dir`` set, epoch 1 (first
+        post-compile epoch) is captured as a jax.profiler trace."""
+        from freesound_classification_tpu.utils.profiling import maybe_trace
+
         losses, batch_metrics = [], []
         t0 = time.time()
+        n_clips = 0
+        trace_dir = self.profile_dir if epoch == 1 else None
+        with maybe_trace(trace_dir):
+            stats = self._train_epoch_inner(
+                train_loader, losses, batch_metrics, aug_scale, log_interval)
+        n_clips = stats
+        dt = time.time() - t0
+        return {
+            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "metric": float(np.nanmean(batch_metrics)) if batch_metrics else
+            float("nan"),
+            "clips_per_sec": n_clips / max(dt, 1e-9),
+        }
+
+    def _train_epoch_inner(self, train_loader, losses, batch_metrics,
+                           aug_scale, log_interval) -> int:
         n_clips = 0
         for batch_idx, batch in enumerate(train_loader):
             device_batch, n = self._prep_batch(batch)
@@ -245,13 +266,7 @@ class Engine:
                     self.train_writer.add_scalar(
                         "lr", float(self.schedule(self.global_step - 1)),
                         self.global_step)
-        dt = time.time() - t0
-        return {
-            "loss": float(np.mean(losses)) if losses else float("nan"),
-            "metric": float(np.nanmean(batch_metrics)) if batch_metrics else
-            float("nan"),
-            "clips_per_sec": n_clips / max(dt, 1e-9),
-        }
+        return n_clips
 
     def evaluate(self, loader, verbose: bool = False,
                  write_summary: bool = False) -> float:

@@ -1,0 +1,153 @@
+"""Reference transform-API compatibility layer tests."""
+
+import numpy as np
+import pytest
+
+from freesound_classification_tpu.data import audio_io, host_ops
+from freesound_classification_tpu.data.sound_dataset import SoundDataset
+from freesound_classification_tpu.data.transforms import (
+    AudioFeatures,
+    Compose,
+    CutOut,
+    DropFields,
+    FlipAudio,
+    Identity,
+    LoadAudio,
+    MapLabels,
+    MixUp,
+    OneOf,
+    RenameFields,
+    STFT,
+    SampleLongAudio,
+    SampleSegment,
+    ShuffleAudio,
+)
+
+
+@pytest.fixture(scope="module")
+def wav_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("compat")
+    rng = np.random.RandomState(0)
+    files = []
+    for i, n in enumerate([30000, 50000, 90000]):
+        p = str(d / f"c{i}.wav")
+        audio_io.write_wav(p, rng.randn(n) * 0.1, 44100)
+        files.append(p)
+    return files
+
+
+CLASS_MAP = {"A": 0, "B": 1, "C": 2}
+
+
+class TestPipeline:
+    def test_reference_train_pipeline_shape(self, wav_files):
+        """The exact transform stack of reference train_2d_cnn.py:310-322."""
+        transform = Compose([
+            LoadAudio(),
+            SampleLongAudio(max_length=1),
+            MapLabels(class_map=CLASS_MAP),
+            ShuffleAudio(chunk_length=0.5, p=0.5),
+            MixUp(p=0.5),
+            AudioFeatures("mel_2048_1024_128"),
+            DropFields(("audio", "filename", "sr")),
+        ])
+        ds = SoundDataset(
+            audio_files=wav_files,
+            labels=[["A"], ["B"], ["A", "C"]],
+            transform=transform,
+            clean_transform=Compose([
+                LoadAudio(),
+                SampleLongAudio(max_length=1),
+                MapLabels(class_map=CLASS_MAP),
+            ]),
+        )
+        sample = ds[0]
+        assert set(sample) == {"signal", "labels", "is_noisy"}
+        assert sample["signal"].ndim == 2 and sample["signal"].shape[1] == 1
+        assert sample["signal"].shape[0] <= 44100
+        assert sample["labels"].shape == (3,)
+
+    def test_switch_off_augmentations(self, wav_files):
+        mix = MixUp(p=1.0)
+        shuf = ShuffleAudio(p=1.0)
+        c = Compose([LoadAudio(), MapLabels(CLASS_MAP), shuf, mix])
+        c.switch_off_augmentations()
+        assert mix.p == 0.0 and shuf.p == 0.0
+
+    def test_oneof_and_identity(self, wav_files):
+        t = OneOf([Identity(), Identity()])
+        out = t(dataset=None, x=1)
+        assert out == {"x": 1}
+
+    def test_stft_transform(self, wav_files):
+        c = Compose([LoadAudio(), STFT(n_fft=2048, hop_size=1024),
+                     RenameFields({"stft": "signal"})])
+        out = c(dataset=None, filename=wav_files[0])
+        assert out["signal"].ndim == 2
+        assert out["signal"].shape[1] == 1025
+
+    def test_audio_features_descriptor(self):
+        f = AudioFeatures("mel_2048_1024_128")
+        assert f.n_features == 128 and f.padding_value == 0.0
+        assert AudioFeatures("stft_1024_256").n_features == 513
+        assert AudioFeatures("raw").n_features == 1
+
+    def test_flip_and_segment(self, wav_files):
+        c = Compose([LoadAudio(), FlipAudio(p=1.0), SampleSegment(p=1.0)])
+        out = c(dataset=None, filename=wav_files[0])
+        assert 0 < out["audio"].size < 30000
+
+    def test_cutout_zeroes(self, wav_files):
+        c = Compose([LoadAudio(), CutOut(area=0.25, p=1.0)])
+        out = c(dataset=None, filename=wav_files[0])
+        assert (out["audio"] == 0).sum() > 1000
+
+
+class TestHostOps:
+    def test_mixup_quirk_replace(self):
+        rng = np.random.RandomState(0)
+        a = rng.randn(100).astype("f4")
+        b = rng.randn(300).astype("f4")
+        la = np.array([1, 0], "f4")
+        lb = np.array([0, 1], "f4")
+        mixed, labels = host_ops.mix_audio_and_labels(
+            a, b, la, lb, rng=np.random.RandomState(1))
+        assert mixed.size == 300
+        np.testing.assert_array_equal(labels, [1, 1])
+        # with the quirk, some window contains shorter*(1-alpha) only —
+        # values independent of the longer clip there
+        mixed2, _ = host_ops.mix_audio_and_labels(
+            a, b * 2, la, lb, rng=np.random.RandomState(1))
+        assert np.isclose(mixed, mixed2).sum() >= 100
+
+    def test_mixup_equal_lengths_mean(self):
+        a = np.ones(50, "f4")
+        b = np.zeros(50, "f4")
+        mixed, _ = host_ops.mix_audio_and_labels(
+            a, b, np.array([1.0]), np.array([0.0]))
+        np.testing.assert_allclose(mixed, 0.5)
+
+    def test_shuffle_preserves_samples(self):
+        rng = np.random.RandomState(2)
+        x = rng.randn(44100 * 2).astype("f4")
+        y = host_ops.shuffle_audio(x, rng=np.random.RandomState(3))
+        np.testing.assert_allclose(np.sort(x), np.sort(y))
+
+    def test_trim_audio(self):
+        sr = 44100
+        x = np.concatenate([
+            np.zeros(10000, "f4"),
+            np.sin(np.linspace(0, 100, 30000)).astype("f4"),
+            np.zeros(10000, "f4"),
+        ])
+        t = host_ops.trim_audio(x)
+        assert t.size < x.size
+        assert t.size >= 28000
+
+    def test_cyclic_schedule(self):
+        from freesound_classification_tpu.ops.schedules import make_schedule
+
+        s = make_schedule("cyclic_0.001_0.006_100", 0.1, 1000, 10)
+        assert float(s(0)) == pytest.approx(0.001)
+        assert float(s(100)) == pytest.approx(0.006)
+        assert float(s(200)) == pytest.approx(0.001)
