@@ -343,13 +343,19 @@ def effects_chain(
     key: jax.Array,
     p: float | jnp.ndarray,
     sr: int = SR,
+    use_phase_vocoder: bool = True,
 ):
-    """reverb -> overdrive -> pitch+speed resample, per-sample randomized.
+    """reverb -> overdrive -> pitch -> speed, per-sample randomized.
 
     Parameter ranges follow the reference chain (transforms.py:94-105):
     reverberance/room_scale ~ U[0, 50), pitch shift ~ U[-300, 300) cents,
-    overdrive gain ~ U[2, 10) dB, speed ~ U[0.9, 1.1). Pitch and speed are
-    one combined resample (factor = speed * 2^(cents/1200)).
+    overdrive gain ~ U[2, 10) dB, speed ~ U[0.9, 1.1).
+
+    With ``use_phase_vocoder`` (default), pitch is a duration-preserving
+    phase-vocoder shift (sox ``pitch`` semantics) and speed a separate
+    resample — the two fold into one PV stretch + one resample
+    (factor = speed * 2^(cents/1200)). Without it, pitch+speed collapse to
+    the single resample (sox ``speed``-style, cheaper).
     """
     b, l = wave.shape
     k_apply, k_rev, k_room, k_pitch, k_gain, k_speed, k_ir = (
@@ -365,8 +371,18 @@ def effects_chain(
 
     out, new_len = reverb(wave, lengths, k_ir, reverberance, room, sr)
     out = overdrive(out, gain)
-    factor = speed * jnp.exp2(cents / 1200.0)
-    out, new_len = resample_rate(out, new_len, factor)
+    pitch_factor = jnp.exp2(cents / 1200.0)
+    if use_phase_vocoder:
+        from freesound_classification_tpu.ops.pv import (
+            phase_vocoder_stretch,
+        )
+
+        # stretch 1/f (duration x f), then resample f*speed: pitch x f,
+        # total duration /speed — sox pitch-then-speed semantics
+        n_fft = min(1024, max(256, l // 8))
+        out, new_len = phase_vocoder_stretch(
+            out, new_len, 1.0 / pitch_factor, n_fft=n_fft, hop=n_fft // 4)
+    out, new_len = resample_rate(out, new_len, speed * pitch_factor)
 
     wave_out = jnp.where(apply[:, None], out, wave)
     len_out = jnp.where(apply, new_len, lengths)
@@ -386,6 +402,7 @@ class AugmentConfig(NamedTuple):
     p_cutout: float = 0.0
     p_flip: float = 0.0
     mixup_quirk_replace: bool = True
+    use_phase_vocoder: bool = True
     sr: int = SR
 
 
@@ -414,7 +431,8 @@ def make_augmenter(cfg: AugmentConfig):
             )
         if cfg.p_aug:
             wave, lengths = effects_chain(
-                wave, lengths, keys[3], cfg.p_aug * scale, sr=cfg.sr
+                wave, lengths, keys[3], cfg.p_aug * scale, sr=cfg.sr,
+                use_phase_vocoder=cfg.use_phase_vocoder,
             )
         if cfg.p_cutout:
             wave = cutout(wave, lengths, keys[4], cfg.p_cutout * scale)
