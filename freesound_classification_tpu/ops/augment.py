@@ -116,15 +116,6 @@ def mixup_or(
 # ---------------------------------------------------------------------------
 
 
-def _even_slice_sizes(size: jnp.ndarray, n: jnp.ndarray, max_chunks: int):
-    """sklearn gen_even_slices sizing: first (size % n) chunks get +1."""
-    base = size // jnp.maximum(n, 1)
-    rem = size % jnp.maximum(n, 1)
-    i = jnp.arange(max_chunks)
-    sizes = jnp.where(i < n, base + (i < rem), 0)
-    return sizes
-
-
 def shuffle_chunks(
     wave: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -132,42 +123,47 @@ def shuffle_chunks(
     p: float | jnp.ndarray,
     chunk_seconds: float = 0.5,
     sr: int = SR,
-    max_chunks: int = 64,
 ):
-    """Split the valid region into ~0.5 s chunks and permute them."""
+    """Split the valid region into 0.5 s chunks and permute them.
+
+    TPU-shaped: the waveform is viewed as (B, n_chunks, chunk) and the
+    permutation is a gather along the *chunk axis* — each gathered element
+    is a contiguous 22050-float block, which XLA moves at full HBM bandwidth
+    (an element-wise 1D gather formulation was ~3 s/step at 10 s batches;
+    this is ~ms). Chunks are exactly ``chunk_seconds`` long and only full
+    chunks inside the valid region take part (the reference's
+    gen_even_slices redistributes the remainder over chunks,
+    ops/audio.py:55-67 — the host compat layer keeps that exact behavior;
+    on device the partial tail chunk stays in place).
+    """
     b, l = wave.shape
+    chunk = max(int(chunk_seconds * sr), 1)
+    c_total = l // chunk
+    if c_total < 2:
+        return wave
+
     k_apply, k_perm = jax.random.split(key)
     apply = jax.random.bernoulli(k_apply, jnp.clip(p, 0.0, 1.0), (b,))
 
-    n_chunks = jnp.minimum(
-        (lengths.astype(jnp.float32) / sr / chunk_seconds).astype(jnp.int32),
-        max_chunks,
-    )
-    active = n_chunks >= 2  # reference returns input for 0/1 chunks
+    # number of full chunks in the valid region; reference shuffles only
+    # when there are >= 2 chunks (ops/audio.py:59-60)
+    n_full = jnp.minimum(lengths // chunk, c_total)
+    active = n_full >= 2
 
-    def one(w, length, n, k):
-        sizes = _even_slice_sizes(length, n, max_chunks)
-        starts = jnp.concatenate([jnp.zeros(1, sizes.dtype),
-                                  jnp.cumsum(sizes)[:-1]])
-        # random permutation of the first n chunks (invalid chunks sort last)
-        u = jax.random.uniform(k, (max_chunks,))
-        u = jnp.where(jnp.arange(max_chunks) < n, u, 2.0)
-        perm = jnp.argsort(u)
-        perm_sizes = sizes[perm]
-        perm_offsets = jnp.concatenate(
-            [jnp.zeros(1, sizes.dtype), jnp.cumsum(perm_sizes)[:-1]])
-        # output position j -> source chunk c with offset
-        j = jnp.arange(l)
-        c = jnp.clip(
-            jnp.searchsorted(jnp.cumsum(perm_sizes), j, side="right"),
-            0, max_chunks - 1)
-        src = starts[perm[c]] + (j - perm_offsets[c])
-        src = jnp.clip(src, 0, l - 1)
-        shuffled = w[src]
-        return jnp.where(j < length, shuffled, w)
+    # per-sample permutation fixing chunks >= n_full: valid chunks get
+    # random sort keys, the tail keeps ascending keys above them
+    u = jax.random.uniform(k_perm, (b, c_total))
+    idx = jnp.arange(c_total)[None, :]
+    keys_sort = jnp.where(idx < n_full[:, None], u, 2.0 + idx)
+    perm = jnp.argsort(keys_sort, axis=1)  # (B, c_total)
 
-    keys = jax.random.split(k_perm, b)
-    shuffled = jax.vmap(one)(wave, lengths, jnp.maximum(n_chunks, 2), keys)
+    head = wave[:, : c_total * chunk].reshape(b, c_total, chunk)
+    shuffled = jnp.take_along_axis(head, perm[:, :, None], axis=1)
+    shuffled = shuffled.reshape(b, c_total * chunk)
+    if c_total * chunk < l:
+        shuffled = jnp.concatenate(
+            [shuffled, wave[:, c_total * chunk :]], axis=1)
+
     use = (apply & active)[:, None]
     return jnp.where(use, shuffled, wave)
 
@@ -285,7 +281,9 @@ def reverb(
     """FFT convolution with a synthetic RIR; ~50/50 wet-dry at max."""
     b, l = wave.shape
     ir_len = int(IR_SECONDS * sr)
-    fft_len = l + ir_len
+    # power-of-two FFT length: XLA TPU lowers awkward FFT sizes to an (N, N)
+    # DFT matmul — at clip scale that is a multi-hundred-GB allocation
+    fft_len = 1 << (l + ir_len - 1).bit_length()
     keys = jax.random.split(key, b)
 
     def one(w, k, rev, room, length):

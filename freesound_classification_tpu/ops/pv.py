@@ -80,22 +80,28 @@ def phase_vocoder_stretch(
 
     out_spec = jax.vmap(stretch_one)(mag, phase, rate)  # (B, t_out, F)
 
-    # synthesis: inverse rFFT + windowed overlap-add
+    # synthesis: inverse rFFT + windowed overlap-add. hop divides n_fft, so
+    # OLA decomposes into R = n_fft//hop static shifted adds — dense ops,
+    # never a scatter (TPU scatter serializes and was ~60x the model cost).
     syn = jnp.fft.irfft(out_spec, n_fft, axis=-1) * window  # (B, t_out, n_fft)
-    ola_len = (t_out - 1) * hop + n_fft
-    idx = (jnp.arange(t_out)[:, None] * hop + jnp.arange(n_fft)[None, :])
+    r = n_fft // hop
+    ola_frames = t_out + r - 1
+    ola_len = ola_frames * hop
+    chunks = syn.reshape(b, t_out, r, hop)
+    out = jnp.zeros((b, ola_frames, hop), jnp.float32)
+    for o in range(r):
+        out = out.at[:, o : o + t_out].add(chunks[:, :, o])
+    out = out.reshape(b, ola_len)
 
-    def ola_one(syn_i):
-        buf = jnp.zeros(ola_len, jnp.float32)
-        return buf.at[idx.reshape(-1)].add(syn_i.reshape(-1))
+    # window-squared normalization — data-independent, computed at trace time
+    import numpy as _np
 
-    out = jax.vmap(ola_one)(syn)
-
-    # window-squared normalization (constant in the interior for hann with
-    # 75% overlap; compute exactly to keep edges right)
-    wsum = jnp.zeros(ola_len, jnp.float32).at[idx.reshape(-1)].add(
-        jnp.tile(window * window, (t_out,)))
-    out = out / jnp.maximum(wsum, 1e-8)
+    wsum_np = _np.zeros(ola_len, _np.float32)
+    w_np = _np.asarray(0.5 - 0.5 * _np.cos(2.0 * _np.pi * _np.arange(n_fft)
+                                           / n_fft), _np.float32)
+    for k in range(t_out):
+        wsum_np[k * hop : k * hop + n_fft] += w_np * w_np
+    out = out / jnp.asarray(_np.maximum(wsum_np, 1e-8))
 
     # frame_signal center-pads by n_fft//2: drop it, crop to the buffer
     start = n_fft // 2
