@@ -355,6 +355,7 @@ def run_training(args, model_kind: str) -> None:
                 train_loader, valid_loader,
                 epochs=args.epochs, fold=fold,
                 log_interval=args.log_interval,
+                resume=args.resume,
             )
             best_metric = max(scores)
             experiment.register_result(f"fold{fold}.metric", best_metric)

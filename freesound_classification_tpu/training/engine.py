@@ -248,6 +248,7 @@ class Engine:
     def _train_epoch_inner(self, train_loader, losses, batch_metrics,
                            aug_scale, log_interval) -> int:
         n_clips = 0
+        epoch_sample_losses = []
         for batch_idx, batch in enumerate(train_loader):
             device_batch, n = self._prep_batch(batch)
             self.global_step += 1
@@ -260,13 +261,46 @@ class Engine:
                 losses.append(loss)
                 m = float(out["metric"]) if "metric" in out else float("nan")
                 batch_metrics.append(m)
+                if not self.self_supervised:
+                    epoch_sample_losses.append(
+                        np.asarray(out["per_sample"])[:n])
                 if self.train_writer is not None:
                     self.train_writer.add_scalar("loss", loss, self.global_step)
                     self.train_writer.add_scalar("metric", m, self.global_step)
                     self.train_writer.add_scalar(
                         "lr", float(self.schedule(self.global_step - 1)),
                         self.global_step)
+            if batch_idx == 0 and self.train_writer is not None:
+                self._add_image_summary(device_batch)
+        # per-sample loss histogram (reference classifiers.py:616-619,706-707)
+        if epoch_sample_losses and self.train_writer is not None:
+            try:
+                self.train_writer.add_histogram(
+                    "losses", np.concatenate(epoch_sample_losses),
+                    global_step=self.global_step)
+            except Exception:
+                pass
         return n_clips
+
+    def _add_image_summary(self, device_batch, to_plot: int = 8) -> None:
+        """First-batch spectrogram grid (reference add_image_summaries,
+        classifiers.py:621-631)."""
+        try:
+            inputs, _ = self.frontend(
+                device_batch["signal"][:to_plot],
+                device_batch["lengths"][:to_plot])
+            imgs = np.asarray(inputs, dtype=np.float32)
+            if imgs.ndim == 4:  # (B, H, W, 1)
+                imgs = imgs[..., 0]
+            elif imgs.ndim == 3:  # (B, T, F) -> (B, F, T)
+                imgs = np.swapaxes(imgs, 1, 2)
+            lo = imgs.min(axis=(1, 2), keepdims=True)
+            hi = imgs.max(axis=(1, 2), keepdims=True)
+            imgs = (imgs - lo) / np.maximum(hi - lo, 1e-6)
+            grid = np.concatenate(list(imgs), axis=0)[None]  # (1, H*, W)
+            self.train_writer.add_image("signal", grid, self.global_step)
+        except Exception:
+            pass
 
     def evaluate(self, loader, verbose: bool = False,
                  write_summary: bool = False) -> float:
@@ -316,9 +350,11 @@ class Engine:
         return np.mean(all_tta, axis=0)
 
     def fit_validate(self, train_loader, valid_loader, epochs: int, fold: int,
-                     log_interval: int = 25) -> list:
+                     log_interval: int = 25, resume: bool = False) -> list:
         """Reference fit_validate (classifiers.py:799-868): per-epoch train +
-        validate, periodic and best checkpoints, augmentation switch-off."""
+        validate, periodic and best checkpoints, augmentation switch-off.
+        With ``resume=True``, continues from the rolling last_model
+        checkpoint (full state: params/opt/step/PRNG)."""
         cfg = self.train_config
         if self._writer_factory is not None:
             self.train_writer = self._writer_factory(fold, "train")
@@ -345,8 +381,23 @@ class Engine:
         switch_off = int(getattr(cfg, "switch_off_augmentations_on", 10**9))
         save_every = int(getattr(cfg, "_save_every", 10**9))
 
-        scores, best_score = [], -np.inf
-        for epoch in range(epochs):
+        # elastic resume: the reference restarts from epoch 0 with fresh
+        # optimizer state (SURVEY.md §5 "failure detection: none"); here the
+        # rolling "last_model" checkpoint carries the FULL train state, so
+        # an interrupted fold continues exactly where it stopped.
+        scores, best_score, start_epoch = [], -np.inf, 0
+        if resume and self.checkpoint_dir is not None:
+            meta = self._load_progress(fold)
+            if meta is not None:
+                self.load_checkpoint(fold, "last_model")
+                start_epoch = meta["epoch"] + 1
+                best_score = meta["best_score"]
+                scores = list(meta["scores"])
+                self.global_step = meta["global_step"]
+                print(f"resuming fold {fold} from epoch {start_epoch} "
+                      f"(best {best_score:.4f})")
+
+        for epoch in range(start_epoch, epochs):
             aug_scale = 0.0 if epoch >= switch_off else 1.0
             stats = self.train_epoch(
                 train_loader, epoch, log_interval, aug_scale=aug_scale
@@ -364,9 +415,35 @@ class Engine:
                     self.save_checkpoint(fold, f"model_on_epoch_{epoch}")
                 if score > best_score:
                     self.save_checkpoint(fold, "best_model")
+                self.save_checkpoint(fold, "last_model")
+                self._save_progress(fold, {
+                    "epoch": epoch,
+                    "best_score": float(max(best_score, score)),
+                    "scores": [float(s) for s in scores],
+                    "global_step": self.global_step,
+                })
             if score > best_score:
                 best_score = score
         return scores
+
+    def _progress_path(self, fold: int) -> str:
+        return os.path.join(self.checkpoint_dir, f"fold_{fold}",
+                            "progress.json")
+
+    def _save_progress(self, fold: int, meta: dict) -> None:
+        import json
+
+        with open(self._progress_path(fold), "w") as f:
+            json.dump(meta, f)
+
+    def _load_progress(self, fold: int):
+        import json
+
+        try:
+            with open(self._progress_path(fold)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
 
     # ------------------------------------------------------------------
     # checkpointing (orbax; reference classifiers.py:846-866, 882-892)
