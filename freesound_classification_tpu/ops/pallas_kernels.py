@@ -85,6 +85,112 @@ def _on_tpu() -> bool:
         return False
 
 
+# ---------------------------------------------------------------------------
+# Linear-interpolation resampling (playback-rate change)
+#
+# The augmentation chain's hot spot: as an XLA take_along_axis it is an
+# elementwise HBM gather (~700 ms/step at 64 x 10 s clips). Access is
+# monotonic with bounded stride, so each output tile of K samples reads a
+# W-sample source window: the kernel DMAs the window into VMEM and computes
+# out[k] = (1-frac_k) win[i0_k] + frac_k win[i0_k+1] as two one-hot
+# select-multiply-reduces on the VPU — no gather anywhere.
+# ---------------------------------------------------------------------------
+
+_RS_TILE = 1024  # output samples per grid step (one (8, 128) vreg tile)
+_RS_WIN = 2048  # source window (>= TILE * max_factor + 129 margin)
+_RS_MAX_FACTOR = 1.8  # supported playback rate (aug uses pitch*speed <= 1.31)
+_RS_CHUNK = 256  # rows per in-kernel select-reduce chunk (bounds VMEM)
+
+
+def _resample_kernel(factor_ref, wave_hbm, out_ref, win, sem):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    f = factor_ref[b]
+
+    start_f = (t * _RS_TILE).astype(jnp.float32) * f
+    # align the DMA start down to a lane multiple; the remainder moves into
+    # the in-window offset
+    start = (jnp.floor(start_f).astype(jnp.int32) // 128) * 128
+    l = wave_hbm.shape[2]
+    start = jnp.clip(start, 0, l - _RS_WIN)
+    start = pl.multiple_of(start, 128)
+
+    copy = pltpu.make_async_copy(
+        wave_hbm.at[b, :, pl.ds(start, _RS_WIN)], win, sem
+    )
+    copy.start()
+
+    # weightsT[w, k] built per 128-output row; the interp is then one
+    # (1, W) x (W, 128) MXU dot — layouts stay 2-D throughout
+    w_idx = jax.lax.broadcasted_iota(
+        jnp.int32, (_RS_WIN, 128), 0).astype(jnp.float32)
+    k_col = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 128), 1).astype(jnp.float32)
+    copy.wait()
+    win_row = win[:]  # (1, _RS_WIN)
+
+    rows = []
+    for r in range(8):
+        pos = (t * _RS_TILE + r * 128 + k_col) * f  # (1, 128)
+        pos = pos - start.astype(jnp.float32)
+        i0 = jnp.clip(jnp.floor(pos), 0.0, _RS_WIN - 2.0)
+        frac = jnp.clip(pos - i0, 0.0, 1.0)
+        weights_t = (
+            (w_idx == i0).astype(jnp.float32) * (1.0 - frac)
+            + (w_idx == i0 + 1.0).astype(jnp.float32) * frac
+        )  # (_RS_WIN, 128)
+        rows.append(jnp.dot(win_row, weights_t,
+                            preferred_element_type=jnp.float32))  # (1, 128)
+    out_ref[0, 0] = jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _resample_pallas(wave: jnp.ndarray, factor: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    b, l = wave.shape
+    l_pad = _round_up(max(l, _RS_WIN), _RS_TILE)
+    wave_p = jnp.pad(wave, ((0, 0), (0, l_pad - l)))
+    # (B, 1, L): the DMA slices one full sublane row + a 128-aligned lane
+    # window, which satisfies Mosaic's tiling-alignment rules
+    wave_p = wave_p[:, None, :]
+    n_tiles = l_pad // _RS_TILE
+
+    out = pl.pallas_call(
+        _resample_kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # all factors
+            pl.BlockSpec(memory_space=pltpu.ANY),  # whole wave, manual DMA
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 8, 128), lambda i, t: (i, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles, 8, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, _RS_WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * l_pad * _RS_WIN,
+            bytes_accessed=4 * (b * l_pad * 3),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(factor.astype(jnp.float32), wave_p.astype(jnp.float32))
+    return out.reshape(b, l_pad)[:, :l]
+
+
+def resample_linear_pallas(wave: jnp.ndarray, factor: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """(B, L) x (B,) playback-rate change; gather-free Pallas kernel.
+
+    Valid for factor in (0, _RS_MAX_FACTOR]. Off-TPU runs interpreted.
+    Masking to new valid lengths is the caller's job (ops.augment
+    .resample_rate wraps this)."""
+    return _resample_pallas(wave, factor, interpret=not _on_tpu())
+
+
 def mel_project_log(spec: jnp.ndarray, fb_t: jnp.ndarray) -> jnp.ndarray:
     """Complex spectrum (..., T, F) -> log-mel (..., M, T).
 
