@@ -129,6 +129,9 @@ def add_train_arguments(parser: argparse.ArgumentParser) -> None:
     req("--profile", action="store_true", default=False,
         help="capture a jax.profiler trace of the first post-compile epoch "
              "into <experiment>/summaries/profile")
+    req("--fold_parallel", action="store_true", default=False,
+        help="train all requested folds simultaneously as one vmapped "
+             "program, sharded over devices (training/multifold.py)")
 
 
 def experiment_config(args, model_label: str, n_classes: int, input_dim: int,
@@ -301,11 +304,9 @@ def run_training(args, model_kind: str) -> None:
         class_names = class_names_from_classmap(class_map)
         experiment.register_directory("predictions")
 
-        for fold in args.folds:
-            print(f"\n\n   -----  Fold {fold}\n")
+        def fold_loaders(fold, mesh_size):
+            """Per-fold datasets + loaders (train_2d_cnn.py:279-353)."""
             train_idx, valid_idx = splits[fold]
-
-            # noisy additions (train_2d_cnn.py:279-299)
             noisy_files, noisy_labels = [], []
             if noisy_train_df is not None:
                 noisy_train, noisy_valid = noisy_splits[fold]
@@ -333,10 +334,6 @@ def run_training(args, model_kind: str) -> None:
                 train_df.iloc[valid_idx], args.train_data_dir)
             valid_ds = ClipDataset(
                 vfiles, raw_labels=vlabels, classmap=class_map, sr=SR)
-
-            engine = build_engine(args, experiment, model_kind, n_classes)
-            mesh_size = engine.mesh.devices.size
-
             train_loader = make_loader(
                 train_ds, ladder,
                 batch_size=(None if args.max_batch_elems else args.batch_size),
@@ -350,20 +347,11 @@ def run_training(args, model_kind: str) -> None:
                 max_batch_elems=args.max_batch_elems,
                 train=False, num_workers=args.num_workers,
             )
+            return train_loader, valid_loader, valid_idx
 
-            scores = engine.fit_validate(
-                train_loader, valid_loader,
-                epochs=args.epochs, fold=fold,
-                log_interval=args.log_interval,
-                resume=args.resume,
-            )
-            best_metric = max(scores)
-            experiment.register_result(f"fold{fold}.metric", best_metric)
-            engine.save_checkpoint(fold, "final_model")
-
-            engine.load_best_model(fold)
-
-            # OOF validation predictions (train_2d_cnn.py:380-391)
+        def emit_fold_artifacts(engine, fold, valid_loader, valid_idx):
+            """OOF/test/holdout prediction artifacts for one trained fold
+            (train_2d_cnn.py:376-449)."""
             val_preds = predict_ordered(engine, valid_loader)
             val_df = pd.DataFrame(val_preds, columns=class_names)
             val_df["fname"] = train_df.fname.values[valid_idx]
@@ -373,7 +361,6 @@ def run_training(args, model_kind: str) -> None:
                 index=False,
             )
 
-            # test predictions, full-length clips (train_2d_cnn.py:394-422)
             tfiles, _ = manifest_from_dataframe(test_df, args.test_data_dir)
             test_ds = ClipDataset(tfiles, classmap=class_map, sr=SR)
             test_loader = make_loader(
@@ -391,7 +378,6 @@ def run_training(args, model_kind: str) -> None:
                 index=False,
             )
 
-            # holdout (train_2d_cnn.py:425-449)
             if holdout_df is not None:
                 hfiles, hlabels = manifest_from_dataframe(
                     holdout_df, args.train_data_dir)
@@ -405,7 +391,74 @@ def run_training(args, model_kind: str) -> None:
                     f"fold{fold}.holdout_metric", holdout_metric)
                 print(f"\nHoldout metric: {holdout_metric:.4f}")
 
+        if getattr(args, "fold_parallel", False) and len(args.folds) > 1:
+            run_folds_parallel(
+                args, experiment, model_kind, n_classes,
+                fold_loaders, emit_fold_artifacts)
+        else:
+            for fold in args.folds:
+                print(f"\n\n   -----  Fold {fold}\n")
+                engine = build_engine(args, experiment, model_kind, n_classes)
+                train_loader, valid_loader, valid_idx = fold_loaders(
+                    fold, engine.mesh.devices.size)
+
+                scores = engine.fit_validate(
+                    train_loader, valid_loader,
+                    epochs=args.epochs, fold=fold,
+                    log_interval=args.log_interval,
+                    resume=args.resume,
+                )
+                best_metric = max(scores)
+                experiment.register_result(f"fold{fold}.metric", best_metric)
+                engine.save_checkpoint(fold, "final_model")
+                engine.load_best_model(fold)
+                emit_fold_artifacts(engine, fold, valid_loader, valid_idx)
+
         finalize_results(experiment, train_df, class_map, args.n_folds)
+
+
+def run_folds_parallel(args, experiment, model_kind, n_classes,
+                       fold_loaders, emit_fold_artifacts) -> None:
+    """All requested folds trained simultaneously as one vmapped/sharded
+    program (training/multifold.py) — the SURVEY §2b folds-onto-devices
+    scale-out. Artifacts come out identical to the sequential path."""
+    from freesound_classification_tpu.training.multifold import (
+        MultiFoldEngine,
+        make_fold_mesh,
+    )
+
+    folds = list(args.folds)
+    print(f"\n\n   -----  Folds {folds} (parallel)\n")
+    template = build_engine(args, experiment, model_kind, n_classes)
+    mesh = make_fold_mesh(len(folds))
+
+    per_fold = [fold_loaders(f, 1) for f in folds]
+    train_loaders = [p[0] for p in per_fold]
+    valid_loaders = [p[1] for p in per_fold]
+
+    mf = MultiFoldEngine(template, len(folds), mesh=mesh, fold_ids=folds)
+    best = mf.fit(train_loaders, valid_loaders, epochs=args.epochs,
+                  checkpoint_dir=template.checkpoint_dir)
+
+    for k, fold in enumerate(folds):
+        experiment.register_result(f"fold{fold}.metric", float(best[k]))
+        from freesound_classification_tpu.training import (
+            checkpoints as ckpt_lib,
+        )
+
+        ckpt_lib.save_state(
+            os.path.join(template.checkpoint_dir, f"fold_{fold}",
+                         "final_model"),
+            mf.fold_state(k))
+
+    # per-fold artifacts via the standard engine + saved best checkpoints
+    for k, fold in enumerate(folds):
+        engine = build_engine(args, experiment, model_kind, n_classes,
+                              writers=False)
+        engine.make_optimizer(max_steps=1, steps_per_epoch=1)
+        engine.init_state(next(iter(valid_loaders[k])))
+        engine.load_best_model(fold)
+        emit_fold_artifacts(engine, fold, valid_loaders[k], per_fold[k][2])
 
 
 def predict_ordered(engine: Engine, loader) -> np.ndarray:

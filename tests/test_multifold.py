@@ -1,0 +1,82 @@
+"""Fold-parallel training: all folds as one vmapped/sharded program."""
+
+import numpy as np
+import pytest
+
+from freesound_classification_tpu.training.multifold import (
+    MultiFoldEngine,
+    _stack_batches,
+    make_fold_mesh,
+)
+from tests.test_engine import ListLoader, _make_engine, _synthetic_batches
+
+
+class TestStacking:
+    def test_pads_to_common_bucket(self):
+        a = {"signal": np.ones((4, 100), "f4"),
+             "lengths": np.full(4, 100, "i4"),
+             "labels": np.ones((4, 3), "f4"),
+             "is_noisy": np.zeros(4, "f4")}
+        b = {"signal": np.ones((4, 60), "f4"),
+             "lengths": np.full(4, 60, "i4"),
+             "labels": np.ones((4, 3), "f4"),
+             "is_noisy": np.zeros(4, "f4")}
+        out = _stack_batches([a, b])
+        assert out["signal"].shape == (2, 4, 100)
+        assert np.all(out["signal"][1, :, 60:] == 0)
+        assert out["lengths"][1, 0] == 60
+
+    def test_fold_mesh_divides(self):
+        mesh = make_fold_mesh(2)
+        assert 2 % mesh.devices.size == 0 or mesh.devices.size % 2 == 0
+
+    def test_mesh_uses_multiple_devices(self):
+        import jax
+
+        assert len(jax.devices()) == 8
+        mesh = make_fold_mesh(4)
+        assert mesh.devices.size == 4
+
+
+class TestMultiFoldTraining:
+    def test_trains_all_folds_and_matches_quality(self, tmp_path):
+        n_folds = 2
+        fold_train = [
+            ListLoader(_synthetic_batches(3, 8, seed=k)) for k in range(n_folds)
+        ]
+        fold_valid = [
+            ListLoader(_synthetic_batches(1, 8, seed=10 + k))
+            for k in range(n_folds)
+        ]
+
+        template = _make_engine(tmp_path)
+        mf = MultiFoldEngine(template, n_folds)
+        best = mf.fit(fold_train, fold_valid, epochs=4,
+                      checkpoint_dir=str(tmp_path))
+        assert len(best) == n_folds
+        for s in best:
+            assert np.isfinite(s) and s > 0.4
+
+        # per-fold checkpoints restorable by the ordinary engine
+        eng = _make_engine(tmp_path)
+        eng.make_optimizer(max_steps=4, steps_per_epoch=4)
+        eng.init_state(fold_train[0][0])
+        eng.load_best_model(0)
+        preds = eng.predict(fold_valid[0])
+        assert preds.shape == (8, 4)
+
+    def test_folds_learn_independently(self, tmp_path):
+        """Fold 0 and fold 1 see different data -> different params."""
+        import jax
+
+        fold_train = [
+            ListLoader(_synthetic_batches(2, 8, seed=k)) for k in range(2)
+        ]
+        template = _make_engine(tmp_path)
+        mf = MultiFoldEngine(template, 2)
+        mf.fit(fold_train, fold_train, epochs=1)
+        p0 = jax.tree.leaves(mf.fold_state(0).params)
+        p1 = jax.tree.leaves(mf.fold_state(1).params)
+        assert any(
+            not np.allclose(a, b) for a, b in zip(p0, p1)
+        )
