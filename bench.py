@@ -79,7 +79,21 @@ def synthetic_clip_lengths(n, seed=0):
     return (secs * SR).astype(np.int64)
 
 
+def _wait_for_tpu(retries: int = 6, delay: float = 20.0) -> None:
+    """The axon TPU tunnel is single-client and occasionally needs a moment
+    after another process releases it; retry backend init."""
+    for attempt in range(retries):
+        try:
+            jax.devices()
+            return
+        except RuntimeError:
+            if attempt == retries - 1:
+                raise
+            time.sleep(delay)
+
+
 def main():
+    _wait_for_tpu()
     model, frontend, stacked = build_model_and_params(0)
 
     @jax.jit

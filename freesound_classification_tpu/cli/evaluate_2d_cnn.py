@@ -46,6 +46,10 @@ def main(argv=None):
     parser.add_argument("--model_kind", type=str, default="2d_cnn",
                         choices=("2d_cnn", "hierarchical_cnn", "backbone_cnn"))
     parser.add_argument("--mesh_devices", type=int, default=None)
+    parser.add_argument("--tta_max_audio_length", type=int, default=None,
+                        help="with --n_tta > 1, random-crop clips to this "
+                             "many seconds per TTA pass (the reference's "
+                             "stochastic eval transforms)")
     args = parser.parse_args(argv)
     common.initialize_accelerator()
 
@@ -65,11 +69,20 @@ def main(argv=None):
         _, valid_idx = splits[fold]
         vfiles, vlabels = manifest_from_dataframe(
             train_df.iloc[valid_idx], args.train_data_dir)
+        tta_crops = args.n_tta > 1 and args.tta_max_audio_length is not None
         ds = ClipDataset(
-            vfiles, raw_labels=vlabels, classmap=class_map, sr=common.SR)
+            vfiles, raw_labels=vlabels, classmap=class_map, sr=common.SR,
+            max_audio_length=(args.tta_max_audio_length if tta_crops
+                              else None),
+            seed=kfold_seed + fold,
+        )
         loader = make_loader(
             ds, ladder, batch_size=args.batch_size,
-            train=False, num_workers=args.num_workers)
+            # train=True makes each TTA pass re-draw the random crop
+            # (the reference's stochastic eval transforms,
+            # evaluate_2d_cnn.py:115-121)
+            train=tta_crops, shuffle=False, drop_last=False,
+            num_workers=args.num_workers)
         engine = build_inference_engine(
             args, experiment, args.model_kind, fold, loader)
         preds = np.mean(
