@@ -45,6 +45,7 @@ class DataLoader:
         self.train = train
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self._epoch = 0
 
     def __len__(self) -> int:
         return len(self.sampler)
@@ -78,6 +79,12 @@ class DataLoader:
         }
 
     def __iter__(self) -> Iterator[dict]:
+        # fresh shuffle every epoch (torch DataLoader(shuffle=True)
+        # semantics; the bucketed batch plan is rebuilt under epoch-keyed
+        # seeds so batch composition varies across epochs)
+        if self.train and self.sampler.shuffle:
+            self.sampler.set_epoch(self._epoch)
+            self._epoch += 1
         batches = list(self.sampler)
         if self.num_workers <= 0:
             for indices in batches:

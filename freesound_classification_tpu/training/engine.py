@@ -394,6 +394,10 @@ class Engine:
                 best_score = meta["best_score"]
                 scores = list(meta["scores"])
                 self.global_step = meta["global_step"]
+                # keep the per-epoch reshuffle sequence aligned with the
+                # uninterrupted run (loader reshuffles on epoch-keyed seeds)
+                if hasattr(train_loader, "_epoch"):
+                    train_loader._epoch = start_epoch
                 print(f"resuming fold {fold} from epoch {start_epoch} "
                       f"(best {best_score:.4f})")
 

@@ -168,3 +168,29 @@ class TestLoaderEndToEnd:
     def test_class_names_roundtrip(self):
         cm = {"Meow": 1, "Bark": 0}
         assert class_names_from_classmap(cm) == ["Bark", "Meow"]
+
+    def test_train_loader_reshuffles_each_epoch(self, wav_dir):
+        files, _ = wav_dir
+        ds = ClipDataset(files, raw_labels=["A"] * 6, classmap={"A": 0})
+        ladder = bucketing.make_bucket_ladder(
+            int(ds.lengths.max()), min_length=8192)
+        loader = make_loader(ds, ladder, batch_size=2, train=True,
+                             drop_last=False)
+        epoch1 = [tuple(b["index"]) for b in loader]
+        epoch2 = [tuple(b["index"]) for b in loader]
+        # same coverage, different order/composition (6 clips over several
+        # buckets -> orders differ with overwhelming probability)
+        flat1 = sorted(i for b in epoch1 for i in b)
+        flat2 = sorted(i for b in epoch2 for i in b)
+        assert flat1 == flat2 == list(range(6))
+        assert epoch1 != epoch2 or len(epoch1) <= 1
+
+    def test_eval_loader_is_deterministic(self, wav_dir):
+        files, _ = wav_dir
+        ds = ClipDataset(files, raw_labels=["A"] * 6, classmap={"A": 0})
+        ladder = bucketing.make_bucket_ladder(
+            int(ds.lengths.max()), min_length=8192)
+        loader = make_loader(ds, ladder, batch_size=2, train=False)
+        a = [tuple(b["index"]) for b in loader]
+        b = [tuple(b["index"]) for b in loader]
+        assert a == b
