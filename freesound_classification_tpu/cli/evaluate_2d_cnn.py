@@ -50,6 +50,8 @@ def main(argv=None):
                         help="with --n_tta > 1, random-crop clips to this "
                              "many seconds per TTA pass (the reference's "
                              "stochastic eval transforms)")
+    parser.add_argument("--per_class", action="store_true", default=False,
+                        help="print the per-class lwlrap decomposition")
     args = parser.parse_args(argv)
     common.initialize_accelerator()
 
@@ -99,6 +101,22 @@ def main(argv=None):
     overall = lwlrap(np.concatenate(all_labels), np.concatenate(all_probs))
     print(f"\nmean fold lwlrap: {np.mean(fold_metrics):.4f}")
     print(f"overall OOF lwlrap: {overall:.4f}")
+
+    if args.per_class:
+        from freesound_classification_tpu.data.dataset import (
+            class_names_from_classmap,
+        )
+        from freesound_classification_tpu.ops.metrics import per_class_lwlrap
+
+        per_class, weight = per_class_lwlrap(
+            np.concatenate(all_labels), np.concatenate(all_probs))
+        names = class_names_from_classmap(class_map)
+        pd.options.display.max_rows = 200
+        print(pd.DataFrame({
+            "classname": names,
+            "lwlrap": per_class,
+            "weight": weight,
+        }).sort_values("lwlrap"))
 
 
 if __name__ == "__main__":
