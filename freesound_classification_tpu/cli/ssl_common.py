@@ -218,6 +218,7 @@ def run_ssl_training(args, kind: str) -> None:
                 train_loader, valid_loader,
                 epochs=args.epochs, fold=fold,
                 log_interval=args.log_interval,
+                resume=args.resume,
             )
             experiment.register_result(f"fold{fold}.metric", max(scores))
             engine.save_checkpoint(fold, "final_model")

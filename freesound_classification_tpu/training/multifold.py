@@ -84,10 +84,6 @@ class MultiFoldEngine:
 
     def make_optimizer(self, max_steps: int, steps_per_epoch: int) -> None:
         self.template.make_optimizer(max_steps, steps_per_epoch)
-        base_step = self.template._train_step._fun \
-            if hasattr(self.template._train_step, "_fun") else None
-        # rebuild raw (un-jitted) step closures from the template
-        self.template._build_steps()
 
     def init_states(self, example_batch) -> None:
         """Vmapped init: one state per fold, different seeds."""
