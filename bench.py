@@ -53,22 +53,23 @@ def build_model_and_params(key):
     inputs, fl = frontend(wave, lengths)
     variables = model.init({"params": jax.random.PRNGKey(0)}, inputs, fl,
                            train=False)
-    # 5 "fold" weight sets: one init, per-fold perturbations (init on this
-    # tunnel costs ~160 s/program — no reason to pay it 5x for a benchmark)
-    keys = jax.random.split(jax.random.PRNGKey(1), N_FOLDS)
+    # 5 "fold" weight sets: one init, per-fold host-side perturbations
+    # (init on this tunnel costs ~160 s/program — no reason to pay it 5x
+    # for a benchmark; host noise avoids per-leaf device round trips)
+    host_vars = jax.device_get(variables)
+    rng = np.random.RandomState(1)
 
-    def perturb(k):
-        leaves, treedef = jax.tree.flatten(variables)
-        ks = jax.random.split(k, len(leaves))
-        out = [
-            leaf + 0.01 * jax.random.normal(kk, leaf.shape, leaf.dtype)
-            if jnp.issubdtype(leaf.dtype, jnp.floating) else leaf
-            for leaf, kk in zip(leaves, ks)
-        ]
-        return jax.tree.unflatten(treedef, out)
+    def perturb():
+        return jax.tree.map(
+            lambda leaf: (
+                leaf + (0.01 * rng.randn(*leaf.shape)).astype(leaf.dtype)
+                if np.issubdtype(leaf.dtype, np.floating) else leaf
+            ),
+            host_vars,
+        )
 
-    stacked = jax.tree.map(
-        lambda *xs: jnp.stack(xs), *[perturb(k) for k in keys])
+    folds = [perturb() for _ in range(N_FOLDS)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *folds)
     return model, frontend, stacked
 
 

@@ -196,17 +196,107 @@ def num_stft_frames(length: int, n_fft: int, hop_size: int) -> int:
 def frame_signal(x: jnp.ndarray, n_fft: int, hop_size: int) -> jnp.ndarray:
     """Center-pad (reflect) and slice ``x`` (..., L) into overlapping frames.
 
-    Returns (..., n_frames, n_fft). The gather is a static strided pattern
-    XLA turns into an efficient copy.
+    Returns (..., n_frames, n_fft). When hop divides n_fft (every descriptor
+    the framework ships), framing is m = n_fft/hop concatenated shifted
+    reshape-views — dense copies, no gather (the gather formulation was
+    ~80% of featurization cost on TPU). Other hops fall back to a strided
+    gather.
     """
     pad = n_fft // 2
     pad_width = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
     xp = jnp.pad(x, pad_width, mode="reflect")
     length = x.shape[-1]
     n_frames = num_stft_frames(length, n_fft, hop_size)
+
+    if n_fft % hop_size == 0:
+        m = n_fft // hop_size
+        total = xp.shape[-1]
+        n_blocks = -(-total // hop_size)  # ceil
+        if n_blocks * hop_size > total:
+            extra = n_blocks * hop_size - total
+            xp = jnp.pad(
+                xp, [(0, 0)] * (x.ndim - 1) + [(0, extra)])
+        blocks = xp.reshape(*xp.shape[:-1], n_blocks, hop_size)
+        views = [
+            blocks[..., o : n_blocks - (m - 1) + o, :] for o in range(m)
+        ]
+        frames = jnp.concatenate(views, axis=-1)
+        return frames[..., :n_frames, :]
+
     starts = jnp.arange(n_frames) * hop_size
     idx = starts[:, None] + jnp.arange(n_fft)[None, :]
     return jnp.take(xp, idx, axis=-1)
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_basis(n_fft: int, hop_size: int):
+    """Windowed rDFT basis split into hop-sized row blocks (numpy, f32).
+
+    Returns (cos_basis, sin_basis), each (m, hop, n_bins) with
+    m = n_fft // hop: basis[o] are rows [o*hop, (o+1)*hop) of the
+    hann-windowed DFT matrix, so the STFT of frame k is
+    sum_o blocks[k+o] @ basis[o] — matmuls over reshape-views, no frame
+    materialization.
+    """
+    import numpy as _np
+
+    assert n_fft % hop_size == 0
+    m = n_fft // hop_size
+    n_bins = n_fft // 2 + 1
+    n = _np.arange(n_fft)[:, None]
+    k = _np.arange(n_bins)[None, :]
+    w = 0.5 - 0.5 * _np.cos(2.0 * _np.pi * _np.arange(n_fft) / n_fft)
+    angle = -2.0 * _np.pi * n * k / n_fft
+    cos_b = (_np.cos(angle) * w[:, None]).astype(_np.float32)
+    sin_b = (_np.sin(angle) * w[:, None]).astype(_np.float32)
+    return (cos_b.reshape(m, hop_size, n_bins),
+            sin_b.reshape(m, hop_size, n_bins))
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_size"))
+def stft_spectrum_dft(x: jnp.ndarray, n_fft: int, hop_size: int):
+    """(re, im) one-sided spectra of (..., L) -> each (..., T, F).
+
+    MXU formulation of the windowed STFT: center-reflect pad, view the
+    signal as hop-sized blocks, and contract shifted block views against the
+    precomputed windowed-DFT basis — the whole transform is m = n_fft/hop
+    matmuls, never materializing frames (the gather/concat framing was the
+    dominant featurization cost on TPU). ``precision="high"`` (bf16 3-pass)
+    keeps ~1e-6 relative accuracy vs the f32 rFFT path at ~2x the speed of
+    full-f32 matmuls.
+    """
+    pad = n_fft // 2
+    pad_width = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+    xp = jnp.pad(x.astype(jnp.float32), pad_width, mode="reflect")
+    length = x.shape[-1]
+    n_frames = num_stft_frames(length, n_fft, hop_size)
+    m = n_fft // hop_size
+
+    total = xp.shape[-1]
+    n_blocks = -(-total // hop_size)
+    if n_blocks * hop_size > total:
+        xp = jnp.pad(
+            xp, [(0, 0)] * (x.ndim - 1) + [(0, n_blocks * hop_size - total)])
+    # need blocks up to index n_frames - 1 + m
+    if n_blocks < n_frames + m - 1:
+        xp = jnp.pad(
+            xp, [(0, 0)] * (x.ndim - 1)
+            + [(0, (n_frames + m - 1 - n_blocks) * hop_size)])
+        n_blocks = n_frames + m - 1
+    blocks = xp.reshape(*xp.shape[:-1], n_blocks, hop_size)
+
+    cos_b, sin_b = _dft_basis(n_fft, hop_size)
+    re = None
+    im = None
+    for o in range(m):
+        view = blocks[..., o : o + n_frames, :]
+        c = jnp.einsum("...th,hf->...tf", view, jnp.asarray(cos_b[o]),
+                       precision="high")
+        s = jnp.einsum("...th,hf->...tf", view, jnp.asarray(sin_b[o]),
+                       precision="high")
+        re = c if re is None else re + c
+        im = s if im is None else im + s
+    return re, im
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop_size"))
@@ -216,11 +306,16 @@ def stft_magnitude(x: jnp.ndarray, n_fft: int, hop_size: int) -> jnp.ndarray:
     Matches ``sqrt(re^2 + im^2)`` of ``torch.stft(x, n_fft, hop, hann)``
     (center=True, reflect padding, not normalized, one-sided) as used at
     reference ops/utils.py:118-125, including the (F, T) output layout.
+    Uses the MXU block-DFT when hop divides n_fft, rFFT otherwise.
     """
-    frames = frame_signal(x, n_fft, hop_size)
-    frames = frames * hann_window(n_fft, dtype=frames.dtype)
-    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
-    mag = jnp.abs(spec)
+    if n_fft % hop_size == 0:
+        re, im = stft_spectrum_dft(x, n_fft, hop_size)
+        mag = jnp.sqrt(re * re + im * im)
+    else:
+        frames = frame_signal(x, n_fft, hop_size)
+        frames = frames * hann_window(n_fft, dtype=frames.dtype)
+        spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+        mag = jnp.abs(spec)
     return jnp.swapaxes(mag, -1, -2)
 
 
@@ -240,10 +335,13 @@ def compute_stft_descriptor(x: jnp.ndarray, descriptor: str) -> jnp.ndarray:
 def _logmel_xla(
     x: jnp.ndarray, fb_t: jnp.ndarray, n_fft: int, hop_size: int
 ) -> jnp.ndarray:
-    frames = frame_signal(x, n_fft, hop_size)
-    frames = frames * hann_window(n_fft, dtype=frames.dtype)
-    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
-    mag = jnp.abs(spec)  # (..., T, F)
+    if n_fft % hop_size == 0:
+        re, im = stft_spectrum_dft(x, n_fft, hop_size)
+        mag = jnp.sqrt(re * re + im * im)  # (..., T, F)
+    else:
+        frames = frame_signal(x, n_fft, hop_size)
+        frames = frames * hann_window(n_fft, dtype=frames.dtype)
+        mag = jnp.abs(jnp.fft.rfft(frames.astype(jnp.float32), axis=-1))
     mel = jnp.einsum(
         "...tf,fm->...tm", mag, fb_t, preferred_element_type=jnp.float32
     )
@@ -269,9 +367,13 @@ def log_mel_spectrogram(
     if use_pallas:
         from freesound_classification_tpu.ops import pallas_kernels
 
-        frames = frame_signal(x, n_fft, hop_size)
-        frames = frames * hann_window(n_fft, dtype=frames.dtype)
-        spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+        if n_fft % hop_size == 0:
+            re, im = stft_spectrum_dft(x, n_fft, hop_size)
+            spec = re + 1j * im
+        else:
+            frames = frame_signal(x, n_fft, hop_size)
+            frames = frames * hann_window(n_fft, dtype=frames.dtype)
+            spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
         return pallas_kernels.mel_project_log(spec, fb_t)
     return _logmel_xla(x, fb_t, n_fft, hop_size)
 
