@@ -368,13 +368,15 @@ def log_mel_spectrogram(
         from freesound_classification_tpu.ops import pallas_kernels
 
         if n_fft % hop_size == 0:
+            # feed the kernel split (re, im) — a complex64 round-trip here
+            # hits UNIMPLEMENTED on the TPU runtime (round-1 regression)
             re, im = stft_spectrum_dft(x, n_fft, hop_size)
-            spec = re + 1j * im
         else:
             frames = frame_signal(x, n_fft, hop_size)
             frames = frames * hann_window(n_fft, dtype=frames.dtype)
             spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
-        return pallas_kernels.mel_project_log(spec, fb_t)
+            re, im = jnp.real(spec), jnp.imag(spec)
+        return pallas_kernels.mel_project_log_ri(re, im, fb_t)
     return _logmel_xla(x, fb_t, n_fft, hop_size)
 
 

@@ -160,7 +160,7 @@ def _resample_pallas(wave: jnp.ndarray, factor: jnp.ndarray,
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # all factors
-            pl.BlockSpec(memory_space=pltpu.ANY),  # whole wave, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # whole wave, manual DMA
         ],
         out_specs=pl.BlockSpec(
             (1, 1, 8, 128), lambda i, t: (i, t, 0, 0),
@@ -191,19 +191,34 @@ def resample_linear_pallas(wave: jnp.ndarray, factor: jnp.ndarray
     return _resample_pallas(wave, factor, interpret=not _on_tpu())
 
 
-def mel_project_log(spec: jnp.ndarray, fb_t: jnp.ndarray) -> jnp.ndarray:
-    """Complex spectrum (..., T, F) -> log-mel (..., M, T).
+def mel_project_log_ri(
+    re: jnp.ndarray, im: jnp.ndarray, fb_t: jnp.ndarray
+) -> jnp.ndarray:
+    """Real/imag spectra (..., T, F) x (F, M) filterbank -> log-mel (..., M, T).
 
-    Fuses |.| -> mel matmul -> log(+1e-4) in one Pallas kernel. Off-TPU the
-    kernel runs in interpreter mode so tests on the CPU backend stay exact.
+    Fuses |.| -> mel matmul -> log(+1e-4) in one Pallas kernel. Takes the
+    split (re, im) pair directly — complex64 intermediates lower to
+    UNIMPLEMENTED on some TPU runtimes (round-1 HEAD regression), so the
+    block-DFT producer (dsp.stft_spectrum_dft) feeds this without ever
+    forming a complex array. Off-TPU the kernel runs in interpreter mode so
+    tests on the CPU backend stay exact.
     """
-    *lead, n_frames, n_freq = spec.shape
+    *lead, n_frames, n_freq = re.shape
     rows = 1
     for d in lead:
         rows *= d
     rows *= n_frames
-    re = jnp.real(spec).reshape(rows, n_freq).astype(jnp.float32)
-    im = jnp.imag(spec).reshape(rows, n_freq).astype(jnp.float32)
-    out = _mel_project_log_2d(re, im, fb_t, interpret=not _on_tpu())
+    re2 = re.reshape(rows, n_freq).astype(jnp.float32)
+    im2 = im.reshape(rows, n_freq).astype(jnp.float32)
+    out = _mel_project_log_2d(re2, im2, fb_t, interpret=not _on_tpu())
     out = out.reshape(*lead, n_frames, fb_t.shape[1])
     return jnp.swapaxes(out, -1, -2)
+
+
+def mel_project_log(spec: jnp.ndarray, fb_t: jnp.ndarray) -> jnp.ndarray:
+    """Complex spectrum (..., T, F) -> log-mel (..., M, T).
+
+    Compat wrapper over mel_project_log_ri for complex-valued producers
+    (e.g. jnp.fft.rfft). Prefer the (re, im) form on TPU.
+    """
+    return mel_project_log_ri(jnp.real(spec), jnp.imag(spec), fb_t)

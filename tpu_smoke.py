@@ -1,0 +1,88 @@
+"""Real-hardware smoke test: run before every end-of-round commit.
+
+Exercises the paths that CPU-interpret tests structurally cannot validate
+(round-1 shipped a HEAD that failed UNIMPLEMENTED on the chip while the
+whole suite was green): the Pallas mel kernel fed from the block-DFT
+producer at bench shapes, the Pallas resample kernel, a jitted flagship
+forward, and a device_get that forces materialization.
+
+Usage:  python tpu_smoke.py            (~2-3 min, mostly compiles)
+Exit 0 = safe to ship; any exception = the chip rejects HEAD.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> int:
+    t0 = time.time()
+    dev = jax.devices()[0]
+    if dev.platform != "tpu":
+        print(f"SMOKE: refusing to run on {dev.platform} — need the real chip")
+        return 2
+    print(f"SMOKE: device={dev}")
+
+    from freesound_classification_tpu.models.classifiers import TwoDimensionalCNN
+    from freesound_classification_tpu.models.frontend import Frontend
+    from freesound_classification_tpu.ops import pallas_kernels
+
+    # 1. Pallas mel kernel from the block-DFT producer at the bench shape
+    frontend = Frontend("mel_2048_1024_128", "2d", sr=44100, use_pallas=True)
+    wave = jnp.asarray(
+        np.random.RandomState(0).randn(4, 65536).astype(np.float32) * 0.1)
+    lengths = jnp.full((4,), 65536, jnp.int32)
+    feats, fl = frontend(wave, lengths)
+    np.asarray(feats)  # force execution on chip
+    assert np.isfinite(np.asarray(feats)).all(), "non-finite log-mel"
+    print(f"SMOKE: pallas mel ok {feats.shape}  [{time.time()-t0:.0f}s]")
+
+    # 2. Flagship model init + jit forward + device_get (bench init path)
+    model = TwoDimensionalCNN(
+        num_conv_blocks=6, start_deep_supervision_on=2, conv_base_depth=64,
+        growth_rate=1.5, aggregation_type="max", n_classes=80,
+        dtype=jnp.bfloat16)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, feats, fl,
+                           train=False)
+    host_vars = jax.device_get(variables)  # round-1 failure surfaced here
+    n_leaves = len(jax.tree.leaves(host_vars))
+    fwd = jax.jit(lambda v, x, l: model.apply(v, x, l, train=False))
+    out = fwd(variables, feats, fl)
+    logits = np.asarray(out["class_logits"])
+    assert logits.shape == (4, 80) and np.isfinite(logits).all()
+    print(f"SMOKE: forward ok, {n_leaves} param leaves  [{time.time()-t0:.0f}s]")
+
+    # 3. Pallas resample kernel on chip
+    res = pallas_kernels.resample_linear_pallas(
+        wave, jnp.asarray([0.9, 1.0, 1.1, 1.3], jnp.float32))
+    r = np.asarray(res)
+    assert r.shape == wave.shape and np.isfinite(r).all()
+    # factor 1.0 row must reproduce the input (linear interp at integers);
+    # the kernel's MXU dot is bf16-rounded -> ~1e-3 abs at 0.1-scale input
+    np.testing.assert_allclose(r[1], np.asarray(wave)[1], atol=3e-3)
+    print(f"SMOKE: pallas resample ok  [{time.time()-t0:.0f}s]")
+
+    # 4. Full augmented train-step program (the training hot path) on chip
+    from freesound_classification_tpu.ops import augment
+
+    key = jax.random.PRNGKey(1)
+    cfg = augment.AugmentConfig(p_mixup=1.0, p_aug=1.0, p_shuffle=1.0)
+    augmenter = augment.make_augmenter(cfg)
+    aug_w, _, _ = jax.jit(
+        lambda w, ln, y, k: augmenter(w, ln, y, k, 1.0)
+    )(wave, lengths, jnp.zeros((4, 80)), key)
+    a = np.asarray(aug_w)
+    assert np.isfinite(a).all(), "non-finite augmented audio"
+    print(f"SMOKE: augment chain ok  [{time.time()-t0:.0f}s]")
+
+    print(f"SMOKE PASS  [{time.time()-t0:.0f}s total]")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
