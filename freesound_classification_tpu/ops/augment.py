@@ -22,11 +22,12 @@ Components and their reference counterparts:
 - ``flip``            — reverse valid samples (transforms.py:68-81)
 - ``sample_segment``  — random sub-segment crop-in-place (transforms.py:236-253)
 - ``effects_chain``   — sox reverb/pitch/overdrive/speed equivalent
-                        (transforms.py:84-108): synthetic-IR FFT reverb,
-                        tanh-waveshaper overdrive, and a combined
-                        pitch+speed resample (sox ``speed`` semantics; the
-                        reference's pitch/speed both perturb rate/pitch —
-                        here one resample with factor speed * 2^(cents/1200)).
+                        (transforms.py:84-108): sox-faithful freeverb
+                        (ops/freeverb.py, exact comb/allpass topology and
+                        parameter mappings, applied by FFT convolution),
+                        tanh-waveshaper overdrive, phase-vocoder pitch, and
+                        a combined pitch+speed resample
+                        (factor speed * 2^(cents/1200)).
 
 Probabilities are multiplied by a traced ``scale`` so the epoch-gated
 switch-off (reference Compose.switch_off_augmentations, transforms.py:362-365)
@@ -61,19 +62,27 @@ def mixup_or(
     key: jax.Array,
     p: float | jnp.ndarray,
     quirk_replace: bool = True,
+    partner: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ):
     """Batch-internal MixUp with OR'd labels.
 
-    For each selected sample, pairs it with a random other batch row: the
-    shorter clip is written into a random window of the longer, which was
-    scaled by a ~ U(0.4, 0.6); labels are clipped-sum OR. ``quirk_replace``
-    reproduces the reference's window *replacement* (audio.py:50 ``=+``).
+    For each selected sample, pairs it with a random row drawn from
+    ``partner`` (clean pre-augmentation copies of the batch — matching the
+    reference's MixUp partner being an *un-augmented* dataset sample,
+    transforms.py:56 / sound_dataset.py:41-56) or, when ``partner`` is None,
+    from the batch itself. The shorter clip is written into a random window
+    of the longer, which was scaled by a ~ U(0.4, 0.6); labels are
+    clipped-sum OR. ``quirk_replace`` reproduces the reference's window
+    *replacement* (audio.py:50 ``=+``).
     """
     b, l = wave.shape
     k_perm, k_apply, k_a, k_start = jax.random.split(key, 4)
 
+    src_wave, src_len, src_lab = (
+        partner if partner is not None else (wave, lengths, labels)
+    )
     perm = jax.random.permutation(k_perm, b)
-    wave2, len2, lab2 = wave[perm], lengths[perm], labels[perm]
+    wave2, len2, lab2 = src_wave[perm], src_len[perm], src_lab[perm]
 
     apply = jax.random.bernoulli(k_apply, jnp.clip(p, 0.0, 1.0), (b,))
     a = jax.random.uniform(k_a, (b,), minval=0.4, maxval=0.6)
@@ -249,55 +258,22 @@ def sample_segment(
 # sox-equivalent effects chain (reference ops/transforms.py:84-108)
 # ---------------------------------------------------------------------------
 
-IR_SECONDS = 0.4
-
-
-def _synthetic_ir(key, reverberance, room_scale, sr, ir_len):
-    """Exponentially decaying noise impulse response.
-
-    reverberance (0-50) -> RT60 in [0.05, 0.8] s; room_scale (0-50) ->
-    pre-delay up to ~25 ms. A standard synthetic-RIR stand-in for sox's
-    freeverb (reference reverb params, transforms.py:97-101).
-    """
-    t = jnp.arange(ir_len) / sr
-    rt60 = 0.05 + (reverberance / 50.0) * 0.75
-    decay = jnp.exp(-6.907755 * t / rt60)  # ln(1000) ~ -60 dB at RT60
-    noise = jax.random.normal(key, (ir_len,))
-    predelay = (room_scale / 50.0) * 0.025
-    gate = (t >= predelay).astype(jnp.float32)
-    ir = noise * decay * gate
-    ir = ir / (jnp.sqrt(jnp.sum(ir * ir)) + 1e-8)
-    return ir
-
-
 def reverb(
     wave: jnp.ndarray,
     lengths: jnp.ndarray,
-    key: jax.Array,
     reverberance: jnp.ndarray,
     room_scale: jnp.ndarray,
     sr: int = SR,
 ):
-    """FFT convolution with a synthetic RIR; ~50/50 wet-dry at max."""
-    b, l = wave.shape
-    ir_len = int(IR_SECONDS * sr)
-    # power-of-two FFT length: XLA TPU lowers awkward FFT sizes to an (N, N)
-    # DFT matmul — at clip scale that is a multi-hundred-GB allocation
-    fft_len = 1 << (l + ir_len - 1).bit_length()
-    keys = jax.random.split(key, b)
+    """Sox-semantics freeverb (comb/allpass topology, exact sox parameter
+    mappings, dry + 0.015-gain wet) — see ops/freeverb.py. The reference's
+    sox call is reverb(reverberance, room_scale, stereo_depth) with pysndfx
+    defaults hf_damping=50, pre_delay=20 ms, wet_gain=0 dB; stereo_depth is
+    inert for mono input (transforms.py:96-101)."""
+    from freesound_classification_tpu.ops import freeverb
 
-    def one(w, k, rev, room, length):
-        ir = _synthetic_ir(k, rev, room, sr, ir_len)
-        W = jnp.fft.rfft(w, fft_len)
-        H = jnp.fft.rfft(ir, fft_len)
-        wet = jnp.fft.irfft(W * H, fft_len)[:l]
-        mix = 0.5 * rev / 50.0
-        out = (1.0 - mix) * w + mix * wet
-        return out
-
-    out = jax.vmap(one)(wave, keys, reverberance, room_scale, lengths)
-    new_len = jnp.minimum(lengths + ir_len, l)
-    return out, new_len.astype(lengths.dtype)
+    return freeverb.reverb_batch(
+        wave, lengths, reverberance, room_scale, sr)
 
 
 def overdrive(wave: jnp.ndarray, gain_db: jnp.ndarray):
@@ -360,20 +336,26 @@ def effects_chain(
     sr: int = SR,
     use_phase_vocoder: bool = True,
 ):
-    """reverb -> overdrive -> pitch -> speed, per-sample randomized.
+    """reverb -> pitch -> overdrive -> speed, per-sample randomized.
 
-    Parameter ranges follow the reference chain (transforms.py:94-105):
-    reverberance/room_scale ~ U[0, 50), pitch shift ~ U[-300, 300) cents,
-    overdrive gain ~ U[2, 10) dB, speed ~ U[0.9, 1.1).
+    Order and parameter ranges follow the reference chain
+    (transforms.py:94-105): reverberance/room_scale ~ U[0, 50), pitch shift
+    ~ U[-300, 300) cents, overdrive gain ~ U[2, 10) dB, speed ~ U[0.9, 1.1).
 
     With ``use_phase_vocoder`` (default), pitch is a duration-preserving
     phase-vocoder shift (sox ``pitch`` semantics) and speed a separate
     resample — the two fold into one PV stretch + one resample
-    (factor = speed * 2^(cents/1200)). Without it, pitch+speed collapse to
-    the single resample (sox ``speed``-style, cheaper).
+    (factor = speed * 2^(cents/1200)). Overdrive (a memoryless waveshaper)
+    is applied between the PV stretch and the combined resample, which
+    matches the reference's pitch-then-overdrive-then-speed ordering up to
+    the (linear) interpolation commuting with the pointwise nonlinearity.
+    Without the phase vocoder, pitch+speed collapse to the single resample
+    (sox ``speed``-style, cheaper) and overdrive precedes it.
     """
     b, l = wave.shape
-    k_apply, k_rev, k_room, k_pitch, k_gain, k_speed, k_ir = (
+    # 7-way split kept (one key unused since the freeverb rewrite) so the
+    # random parameter streams stay bit-identical across versions
+    k_apply, k_rev, k_room, k_pitch, k_gain, k_speed, _ = (
         jax.random.split(key, 7)
     )
     apply = jax.random.bernoulli(k_apply, jnp.clip(p, 0.0, 1.0), (b,))
@@ -384,8 +366,7 @@ def effects_chain(
     gain = jax.random.uniform(k_gain, (b,), minval=2.0, maxval=10.0)
     speed = jax.random.uniform(k_speed, (b,), minval=0.9, maxval=1.1)
 
-    out, new_len = reverb(wave, lengths, k_ir, reverberance, room, sr)
-    out = overdrive(out, gain)
+    out, new_len = reverb(wave, lengths, reverberance, room, sr)
     pitch_factor = jnp.exp2(cents / 1200.0)
     if use_phase_vocoder:
         from freesound_classification_tpu.ops.pv import (
@@ -397,6 +378,7 @@ def effects_chain(
         n_fft = min(1024, max(256, l // 8))
         out, new_len = phase_vocoder_stretch(
             out, new_len, 1.0 / pitch_factor, n_fft=n_fft, hop=n_fft // 4)
+    out = overdrive(out, gain)
     out, new_len = resample_rate(out, new_len, speed * pitch_factor)
 
     wave_out = jnp.where(apply[:, None], out, wave)
@@ -417,6 +399,10 @@ class AugmentConfig(NamedTuple):
     p_cutout: float = 0.0
     p_flip: float = 0.0
     mixup_quirk_replace: bool = True
+    # reference MixUp partners are *un-augmented* dataset samples
+    # (transforms.py:56, sound_dataset.py:41-56); True mixes from a clean
+    # pre-shuffle/flip copy of the batch, False from the augmented rows
+    mixup_clean_partner: bool = True
     use_phase_vocoder: bool = True
     sr: int = SR
 
@@ -433,6 +419,7 @@ def make_augmenter(cfg: AugmentConfig):
 
     def augment(wave, lengths, labels, key, scale):
         keys = jax.random.split(key, 5)
+        clean = (wave, lengths, labels) if cfg.mixup_clean_partner else None
         if cfg.p_shuffle:
             wave = shuffle_chunks(
                 wave, lengths, keys[0], cfg.p_shuffle * scale, sr=cfg.sr
@@ -443,6 +430,7 @@ def make_augmenter(cfg: AugmentConfig):
             wave, lengths, labels = mixup_or(
                 wave, lengths, labels, keys[2], cfg.p_mixup * scale,
                 quirk_replace=cfg.mixup_quirk_replace,
+                partner=clean,
             )
         if cfg.p_aug:
             wave, lengths = effects_chain(

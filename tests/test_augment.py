@@ -62,6 +62,53 @@ class TestMixup:
         if not np.allclose(ra[0], w):  # only when mixup applied
             assert not np.allclose(ra[0], rb[0])
 
+    def test_explicit_partner_is_used(self):
+        """With a clean partner supplied, mixed content comes from the
+        partner arrays, not the (possibly augmented) batch rows."""
+        rng = np.random.RandomState(5)
+        b, n = 8, 64
+        w = jnp.asarray(rng.randn(b, n).astype("f4"))
+        pw = jnp.asarray(rng.randn(b, n).astype("f4"))
+        l = jnp.full((b,), n, jnp.int32)
+        y = jnp.asarray(np.eye(b, 16, dtype="f4"))
+        py = jnp.asarray(np.roll(np.eye(b, 16, dtype="f4"), 8, axis=1))
+        out, _, oy = augment.mixup_or(
+            w, l, y, KEY, 1.0, partner=(pw, l, py))
+        # equal lengths -> mixed = (self + partner)/2; recover the partner
+        rec = np.asarray(2.0 * out - w)
+        pw_np = np.asarray(pw)
+        for row in rec:
+            dists = np.abs(pw_np - row[None]).max(axis=1)
+            assert dists.min() < 1e-5, "partner content not from clean copy"
+        # labels OR'd with the partner's labels (disjoint -> 2 per row)
+        assert (np.asarray(oy).sum(axis=1) == 2).all()
+
+    def test_clean_partner_excludes_shuffle(self):
+        """make_augmenter with mixup_clean_partner: shuffle must not leak
+        into mixup partners (reference draws un-augmented samples)."""
+        rng = np.random.RandomState(6)
+        b = 8
+        sr = 100
+        n = 400  # 4 chunks of 0.5 s at sr=100
+        w = jnp.asarray(rng.randn(b, n).astype("f4"))
+        l = jnp.full((b,), n, jnp.int32)
+        y = jnp.asarray(np.eye(b, 16, dtype="f4"))
+        cfg = augment.AugmentConfig(
+            p_mixup=1.0, p_shuffle=1.0, sr=sr, mixup_clean_partner=True)
+        out, _, _ = augment.make_augmenter(cfg)(w, l, y, KEY, 1.0)
+        # equal lengths: out = (shuffled_self + partner)/2. The partner
+        # must be an UNSHUFFLED clean row: reconstruct partners against
+        # every possible clean row; at least one must match per row.
+        # (With shuffled partners the chunk permutation would break the
+        # match with probability 1 - 1/4! per row.)
+        keys = jax.random.split(KEY, 5)
+        shuffled_self = augment.shuffle_chunks(w, l, keys[0], 1.0, sr=sr)
+        rec = np.asarray(2.0 * out - shuffled_self)
+        w_np = np.asarray(w)
+        for row in rec:
+            dists = np.abs(w_np - row[None]).max(axis=1)
+            assert dists.min() < 1e-4, "mixup partner was augmented"
+
 
 class TestShuffle:
     def test_preserves_multiset_of_valid_samples(self):
