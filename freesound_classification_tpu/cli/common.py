@@ -438,7 +438,9 @@ def run_folds_parallel(args, experiment, model_kind, n_classes,
 
     mf = MultiFoldEngine(template, len(folds), mesh=mesh, fold_ids=folds)
     best = mf.fit(train_loaders, valid_loaders, epochs=args.epochs,
-                  checkpoint_dir=template.checkpoint_dir)
+                  checkpoint_dir=template.checkpoint_dir,
+                  resume=getattr(args, "resume", False),
+                  log_interval=getattr(args, "log_interval", 25))
 
     for k, fold in enumerate(folds):
         experiment.register_result(f"fold{fold}.metric", float(best[k]))
@@ -467,7 +469,8 @@ def predict_ordered(engine: Engine, loader) -> np.ndarray:
     probs_chunks, idx_chunks = [], []
     for batch in loader:
         device_batch, n = engine._prep_batch(batch)
-        out = engine._eval_step(engine.state, device_batch)
+        out = engine._eval_step(engine.state, device_batch,
+                                 jnp.int32(n))
         probs_chunks.append(np.asarray(out["probs"])[:n])
         idx_chunks.append(batch["index"][:n])
     probs = np.concatenate(probs_chunks)

@@ -52,8 +52,12 @@ def main(argv=None):
                              "stochastic eval transforms)")
     parser.add_argument("--per_class", action="store_true", default=False,
                         help="print the per-class lwlrap decomposition")
+    parser.add_argument("--device", type=str, default="tpu",
+                        choices=("tpu", "cpu"),
+                        help="backend to run evaluation on (reference "
+                             "evaluate_2d_cnn.py:69 --device)")
     args = parser.parse_args(argv)
-    common.initialize_accelerator()
+    common.initialize_accelerator(args.device)
 
     experiment = Experiment(resume_from=args.experiment)
     class_map = load_classmap(args.classmap)

@@ -34,6 +34,15 @@ def add_predict_arguments(parser):
     parser.add_argument("--output_df", required=True, type=str)
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--n_tta", type=int, default=1)
+    parser.add_argument("--tta_max_audio_length", type=int, default=None,
+                        help="with --n_tta > 1, random-crop clips to this "
+                             "many seconds per TTA pass (required for TTA: "
+                             "the eval step is deterministic, so without a "
+                             "stochastic crop every pass is identical)")
+    parser.add_argument("--device", type=str, default="tpu",
+                        choices=("tpu", "cpu"),
+                        help="backend to run inference on (reference "
+                             "predict_2d_cnn.py:57 --device)")
     parser.add_argument("--num_workers", type=int, default=4)
     parser.add_argument("--model_kind", type=str, default="2d_cnn",
                         choices=("2d_cnn", "hierarchical_cnn", "backbone_cnn"))
@@ -75,7 +84,12 @@ def main(argv=None):
     )
     add_predict_arguments(parser)
     args = parser.parse_args(argv)
-    common.initialize_accelerator()
+    if args.n_tta > 1 and args.tta_max_audio_length is None:
+        parser.error(
+            "--n_tta > 1 requires --tta_max_audio_length: inference is "
+            "deterministic, so TTA without a stochastic crop would average "
+            "identical passes")
+    common.initialize_accelerator(args.device)
 
     experiment = Experiment(resume_from=args.experiment)
     class_map = load_classmap(args.classmap)
@@ -84,13 +98,19 @@ def main(argv=None):
 
     test_df = pd.read_csv(args.test_df)
     files, _ = manifest_from_dataframe(test_df, args.test_data_dir)
-    ds = ClipDataset(files, classmap=class_map, sr=common.SR)
+    tta_crops = args.n_tta > 1
+    ds = ClipDataset(
+        files, classmap=class_map, sr=common.SR,
+        max_audio_length=(args.tta_max_audio_length if tta_crops else None),
+    )
     ladder = common.default_ladder(None)
     loader = make_loader(
         ds, ladder,
         batch_size=(None if args.max_batch_elems else args.batch_size),
         max_batch_elems=args.max_batch_elems,
-        train=False, num_workers=args.num_workers,
+        # train=True re-draws the random crop every TTA pass
+        train=tta_crops, shuffle=False, drop_last=False,
+        num_workers=args.num_workers,
     )
 
     if not args.no_vmap_folds and args.n_tta <= 1:

@@ -53,7 +53,7 @@ class ClipDataset:
         self.audio_files = list(audio_files)
         self.sr = sr
         self.max_audio_length = max_audio_length
-        self._rng = np.random.RandomState(seed)
+        self.seed = seed
         if raw_labels is not None:
             assert classmap is not None
             label_strings = [
@@ -91,8 +91,14 @@ class ClipDataset:
             self._lengths = np.maximum(lens, 1)
         return self._lengths
 
-    def decode(self, index: int, train: bool = False) -> np.ndarray:
-        """Decode clip ``index``; random-crop long clips when training."""
+    def decode(self, index: int, train: bool = False,
+               epoch: int = 0) -> np.ndarray:
+        """Decode clip ``index``; random-crop long clips when training.
+
+        The crop offset comes from a per-call RandomState keyed on
+        (seed, epoch, index): deterministic under a fixed seed and safe
+        under the loader's thread-pool workers (a shared RandomState is
+        not thread-safe and raced in round 1)."""
         audio, file_sr = audio_io.read_wav(self.audio_files[index])
         if file_sr != self.sr:
             audio = audio_io.resample(audio, file_sr, self.sr)
@@ -100,7 +106,11 @@ class ClipDataset:
             max_len = int(self.max_audio_length * self.sr)
             if audio.size > max_len:
                 if train:
-                    start = self._rng.randint(0, audio.size - max_len)
+                    rng = np.random.RandomState(
+                        (self.seed * 1_000_003 + epoch * 9_973 + index)
+                        % (2**32)
+                    )
+                    start = rng.randint(0, audio.size - max_len)
                 else:
                     start = 0
                 audio = audio[start : start + max_len]

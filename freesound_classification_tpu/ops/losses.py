@@ -66,12 +66,17 @@ def lsep_loss_stable(
 
 
 def binary_cross_entropy(
-    logits: jnp.ndarray, targets: jnp.ndarray, raw: bool = True
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    raw: bool = True,
+    average: bool = True,
 ) -> jnp.ndarray:
-    """Mean element-wise BCE (reference losses.py:19-22).
+    """Element-wise BCE (reference losses.py:19-22).
 
     With ``raw=True`` the inputs are logits; the sigmoid+log pair is fused
-    into the numerically stable softplus form.
+    into the numerically stable softplus form. ``average=False`` returns the
+    per-sample vector (mean over classes) for loss histograms, matching the
+    lsep losses' contract so the engine can use any --loss uniformly.
     """
     if raw:
         # log(sigmoid(x)) = -softplus(-x); log(1-sigmoid(x)) = -softplus(x)
@@ -83,7 +88,8 @@ def binary_cross_entropy(
         eps = 1e-12
         probs = jnp.clip(logits, eps, 1.0 - eps)
         per_elem = -(targets * jnp.log(probs) + (1 - targets) * jnp.log(1 - probs))
-    return jnp.mean(per_elem)
+    per_sample = jnp.mean(per_elem, axis=tuple(range(1, per_elem.ndim)))
+    return jnp.mean(per_sample) if average else per_sample
 
 
 def focal_loss(
@@ -91,14 +97,21 @@ def focal_loss(
     targets: jnp.ndarray,
     focus: float = 2.0,
     raw: bool = True,
+    average: bool = True,
 ) -> jnp.ndarray:
-    """Focal loss (reference losses.py:5-16)."""
+    """Focal loss (reference losses.py:5-16).
+
+    ``average=False`` returns per-sample means over classes (see
+    binary_cross_entropy).
+    """
     probs = jax.nn.sigmoid(logits) if raw else logits
     eps = 1e-7
     prob_true = probs * targets + (1.0 - probs) * (1.0 - targets)
     prob_true = jnp.clip(prob_true, eps, 1.0 - eps)
     modulating_factor = (1.0 - prob_true) ** focus
-    return jnp.mean(-modulating_factor * jnp.log(prob_true))
+    per_elem = -modulating_factor * jnp.log(prob_true)
+    per_sample = jnp.mean(per_elem, axis=tuple(range(1, per_elem.ndim)))
+    return jnp.mean(per_sample) if average else per_sample
 
 
 LOSSES = {

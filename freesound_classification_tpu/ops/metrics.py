@@ -53,13 +53,21 @@ def lwlrap(truth: np.ndarray, scores: np.ndarray) -> float:
     return total / float(n_labels[keep].sum())
 
 
-def lwlrap_jax(truth: jnp.ndarray, scores: jnp.ndarray) -> jnp.ndarray:
+def lwlrap_jax(
+    truth: jnp.ndarray,
+    scores: jnp.ndarray,
+    row_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Device lwlrap for (B, C) batches, C^2 pairwise — cheap at C=80.
 
     Jit/vmap/pjit-compatible: no data-dependent shapes. Zero-label rows
     contribute zero weight, mirroring the host version's row skipping.
+    ``row_mask`` (B,) zeroes out padded rows (mesh pad duplicates) so the
+    in-step metric matches the host metric over real samples.
     """
     pos = (truth > 0).astype(scores.dtype)  # (B, C)
+    if row_mask is not None:
+        pos = pos * row_mask.astype(scores.dtype)[:, None]
     # ge[b, i, j] = scores[b, j] >= scores[b, i]
     ge = (scores[:, None, :] >= scores[:, :, None]).astype(scores.dtype)
     ranks = jnp.sum(ge, axis=2)  # (B, C): # scores >= s_i

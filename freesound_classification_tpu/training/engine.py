@@ -136,7 +136,7 @@ class Engine:
         return self.state
 
     def _forward_loss(self, params, batch_stats, inputs, frame_lengths,
-                      labels, dropout_rng, train):
+                      labels, dropout_rng, train, row_mask=None):
         variables = {"params": params, "batch_stats": batch_stats}
         kwargs = dict(train=train)
         if train:
@@ -157,17 +157,28 @@ class Engine:
                           jnp.stack([jnp.asarray(t) for t in loss_terms]))
         logits = out["class_logits"]
         per_sample = self.loss_fn(logits, labels, average=False)
-        return jnp.mean(per_sample), (logits, new_stats, per_sample)
+        if row_mask is None:
+            loss = jnp.mean(per_sample)
+        else:
+            # mesh padding duplicates the last sample to reach a multiple of
+            # the device count; mask it out so it carries no gradient weight
+            # and the reported loss is exact over real rows.
+            m = row_mask.astype(per_sample.dtype)
+            loss = jnp.sum(per_sample * m) / jnp.maximum(jnp.sum(m), 1.0)
+        return loss, (logits, new_stats, per_sample)
 
     def _build_steps(self) -> None:
         frontend = self.frontend
         augment = self.augment
 
-        def train_step(state: TrainState, batch, aug_scale):
+        def train_step(state: TrainState, batch, aug_scale, n_real):
             rng, step_rng, dropout_rng = jax.random.split(state.rng, 3)
             wave = batch["signal"]
             lengths = batch["lengths"]
             labels = batch.get("labels")
+            row_mask = (
+                jnp.arange(wave.shape[0], dtype=jnp.int32) < n_real
+            )
             if augment is not None:
                 wave, lengths, labels = augment(
                     wave, lengths, labels, step_rng, aug_scale
@@ -178,6 +189,7 @@ class Engine:
                 return self._forward_loss(
                     params, state.batch_stats, inputs, frame_lengths,
                     labels, dropout_rng, train=True,
+                    row_mask=None if self.self_supervised else row_mask,
                 )
 
             (loss, (logits, new_stats, per_sample)), grads = (
@@ -189,16 +201,21 @@ class Engine:
             out = {"loss": loss, "per_sample": per_sample}
             if logits is not None and labels is not None:
                 probs = jax.nn.sigmoid(logits)
-                out["metric"] = metrics_lib.lwlrap_jax(labels, probs)
+                out["metric"] = metrics_lib.lwlrap_jax(
+                    labels, probs, row_mask=row_mask)
                 out["probs"] = probs
             return state, out
 
-        def eval_step(state: TrainState, batch):
+        def eval_step(state: TrainState, batch, n_real):
             inputs, frame_lengths = frontend(batch["signal"], batch["lengths"])
             labels = batch.get("labels")
+            row_mask = (
+                jnp.arange(batch["signal"].shape[0], dtype=jnp.int32) < n_real
+            )
             loss, (logits, _, per_sample) = self._forward_loss(
                 state.params, state.batch_stats, inputs, frame_lengths,
                 labels, state.rng, train=False,
+                row_mask=None if self.self_supervised else row_mask,
             )
             out = {"loss": loss, "per_sample": per_sample}
             if logits is not None:
@@ -217,9 +234,12 @@ class Engine:
             k: v for k, v in batch.items()
             if k in ("signal", "lengths", "labels", "is_noisy")
         }
-        padded, n = mesh_lib.pad_batch_to_multiple(
-            batch, self.mesh.devices.size
-        )
+        # multi-host: this host holds 1/process_count of the global batch,
+        # so pad to a multiple of the LOCAL device count
+        multiple = self.mesh.devices.size
+        if jax.process_count() > 1:
+            multiple = max(multiple // jax.process_count(), 1)
+        padded, n = mesh_lib.pad_batch_to_multiple(batch, multiple)
         return mesh_lib.shard_batch(self.mesh, padded), n
 
     def train_epoch(self, train_loader, epoch: int, log_interval: int = 25,
@@ -238,6 +258,9 @@ class Engine:
                 train_loader, losses, batch_metrics, aug_scale, log_interval)
         n_clips = stats
         dt = time.time() - t0
+        # lists hold device scalars; one bulk host transfer at epoch end
+        losses = [float(v) for v in losses]
+        batch_metrics = [float(v) for v in batch_metrics]
         return {
             "loss": float(np.mean(losses)) if losses else float("nan"),
             "metric": float(np.nanmean(batch_metrics)) if batch_metrics else
@@ -253,14 +276,18 @@ class Engine:
             device_batch, n = self._prep_batch(batch)
             self.global_step += 1
             self.state, out = self._train_step(
-                self.state, device_batch, jnp.float32(aug_scale)
+                self.state, device_batch, jnp.float32(aug_scale),
+                jnp.int32(n),
             )
             n_clips += n
+            # accumulate device scalars every batch (async — no host sync
+            # until the epoch-end float conversions) so epoch loss/metric
+            # are exact, not log_interval-subsampled
+            losses.append(out["loss"])
+            batch_metrics.append(out.get("metric", np.nan))
             if (batch_idx % log_interval == 0) or batch_idx == 0:
                 loss = float(out["loss"])
-                losses.append(loss)
                 m = float(out["metric"]) if "metric" in out else float("nan")
-                batch_metrics.append(m)
                 if not self.self_supervised:
                     epoch_sample_losses.append(
                         np.asarray(out["per_sample"])[:n])
@@ -312,9 +339,17 @@ class Engine:
         total_loss, total_n = 0.0, 0
         for batch in loader:
             device_batch, n = self._prep_batch(batch)
-            out = self._eval_step(self.state, device_batch)
-            total_loss += float(out["loss"]) * n
-            total_n += n
+            out = self._eval_step(self.state, device_batch, jnp.int32(n))
+            if self.self_supervised:
+                # SSL losses are batch-mean scalars over the padded batch;
+                # weight by padded rows so the epoch mean is consistent.
+                n_pad = int(device_batch["signal"].shape[0])
+                total_loss += float(out["loss"]) * n_pad
+                total_n += n_pad
+            else:
+                # classifier loss is already exact over the n real rows
+                total_loss += float(out["loss"]) * n
+                total_n += n
             if "probs" in out and "labels" in batch:
                 all_probs.append(np.asarray(out["probs"])[:n])
                 all_labels.append(np.asarray(batch["labels"])[:n])
@@ -338,13 +373,19 @@ class Engine:
 
     def predict(self, loader, n_tta: int = 1) -> np.ndarray:
         """Sigmoid probabilities over a loader; TTA-averaged
-        (reference predict, classifiers.py:770-797)."""
+        (reference predict, classifiers.py:770-797).
+
+        NOTE: the eval step is deterministic — n_tta > 1 only helps when
+        the loader itself is stochastic (train=True with a max_audio_length
+        crop re-draws offsets per pass; see cli predict/evaluate
+        --tta_max_audio_length). A deterministic loader makes every pass
+        identical."""
         all_tta = []
         for _ in range(n_tta):
             probs = []
             for batch in loader:
                 device_batch, n = self._prep_batch(batch)
-                out = self._eval_step(self.state, device_batch)
+                out = self._eval_step(self.state, device_batch, jnp.int32(n))
                 probs.append(np.asarray(out["probs"])[:n])
             all_tta.append(np.concatenate(probs))
         return np.mean(all_tta, axis=0)

@@ -76,7 +76,8 @@ class TestMeshEquivalence:
             losses = []
             for _ in range(3):
                 eng.state, out = eng._train_step(
-                    eng.state, db, jnp.float32(0.0))
+                    eng.state, db, jnp.float32(0.0),
+                    jnp.int32(db['signal'].shape[0]))
                 losses.append(float(out["loss"]))
             losses_by_mesh[n] = losses
 
@@ -96,7 +97,9 @@ class TestMeshEquivalence:
             eng = _engine(n)
             eng.init_state(batch)
             db, _ = eng._prep_batch(batch)
-            eng.state, _ = eng._train_step(eng.state, db, jnp.float32(0.0))
+            eng.state, _ = eng._train_step(
+                eng.state, db, jnp.float32(0.0),
+                jnp.int32(db['signal'].shape[0]))
             stats[n] = jax.device_get(eng.state.batch_stats)
         for a, b in zip(jax.tree.leaves(stats[1]), jax.tree.leaves(stats[8])):
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)

@@ -98,9 +98,23 @@ class TestPipeline:
         assert 0 < out["audio"].size < 30000
 
     def test_cutout_zeroes(self, wav_files):
+        # the cutout window may clip at the clip end (reference
+        # ops/audio.py:70-79), so the zero count is in (0, width]
+        np.random.seed(1234)
         c = Compose([LoadAudio(), CutOut(area=0.25, p=1.0)])
         out = c(dataset=None, filename=wav_files[0])
-        assert (out["audio"] == 0).sum() > 1000
+        n_zeros = int((out["audio"] == 0).sum())
+        # slack for natural zeros from PCM16 quantization of the fixture
+        assert 0 < n_zeros <= int(0.25 * out["audio"].size) + 64
+
+    def test_cutout_exact_window(self):
+        audio = np.ones(1000, dtype=np.float32)
+        rng = np.random.RandomState(7)
+        start = np.random.RandomState(7).randint(0, 1000)
+        out = host_ops.cutout(audio, area=0.25, rng=rng)
+        width = min(250, 1000 - start)
+        assert (out == 0).sum() == width
+        assert (out[start : start + 250] == 0).all()
 
 
 class TestHostOps:
