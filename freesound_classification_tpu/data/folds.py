@@ -26,69 +26,81 @@ def train_validation_data(ids, labels, n_folds: int, seed: int):
 
 
 def iterative_stratification(
-    binary_labels: np.ndarray, n_folds: int, seed: int
+    labels: np.ndarray, r: np.ndarray, random_state: np.random.RandomState
 ) -> np.ndarray:
     """Assign each sample to a fold via iterative stratification.
 
     Sechidis, Tsoumakas & Vlahavas, "On the Stratification of Multi-Label
-    Data" (ECML 2011) — the algorithm behind iterstrat. Returns fold id per
-    sample. Samples with no labels are dealt round-robin to the least-filled
-    folds at the end.
+    Data" (ECML 2011). This port mirrors the control flow AND the RNG call
+    order of the iterstrat package (trent-b/iterative-stratification, MIT)
+    that the reference depends on (reference ops/folds.py:2,22-24), so fold
+    membership is reproducible against reference runs under the same seed:
+
+    - the per-round target label is the one with the fewest remaining
+      (nonzero) examples; ties broken by one ``random_state.choice`` draw;
+    - samples carrying the target label are processed in ascending index
+      order (no shuffle here — the caller shuffles globally);
+    - each sample goes to the fold with the largest remaining desire for
+      the label; ties broken by the largest remaining overall desire, then
+      one ``random_state.choice`` draw;
+    - leftover all-zero-label samples fill the fold with the largest
+      remaining overall desire.
     """
-    rng = np.random.RandomState(seed)
-    n_samples, n_classes = binary_labels.shape
-    labels = binary_labels > 0
+    labels = np.asarray(labels, dtype=bool)
+    n_samples = labels.shape[0]
+    test_folds = np.zeros(n_samples, dtype=int)
 
-    # desired number of samples / per-class labels per fold (uniform ratios)
-    fold_sizes = np.full(n_folds, n_samples / n_folds)
-    per_class_total = labels.sum(axis=0).astype(np.float64)
-    fold_class_desired = np.tile(per_class_total / n_folds, (n_folds, 1))
+    # desired number of samples / of per-class labels at each fold
+    c_folds = r * n_samples
+    c_folds_labels = np.outer(r, labels.sum(axis=0))
 
-    fold_of = np.full(n_samples, -1, dtype=np.int64)
-    remaining = labels.copy()
-    unassigned = np.ones(n_samples, dtype=bool)
-
-    while True:
-        counts = remaining[unassigned].sum(axis=0)
-        active = np.flatnonzero(counts > 0)
-        if active.size == 0:
+    not_processed = np.ones(n_samples, dtype=bool)
+    while np.any(not_processed):
+        num_labels = labels[not_processed].sum(axis=0)
+        if num_labels.sum() == 0:
+            # only all-zero-label samples remain
+            for sample_idx in np.where(not_processed)[0]:
+                fold_idx = np.argmax(c_folds)
+                test_folds[sample_idx] = fold_idx
+                c_folds[fold_idx] -= 1
             break
-        # class with fewest remaining labels (ties broken randomly)
-        min_count = counts[active].min()
-        tied = active[counts[active] == min_count]
-        cls = tied[rng.randint(len(tied))] if len(tied) > 1 else tied[0]
 
-        sample_ids = np.flatnonzero(unassigned & remaining[:, cls])
-        # iterstrat shuffles candidate processing order under the rng
-        rng.shuffle(sample_ids)
-        for s in sample_ids:
-            # fold wanting this class most; tie -> fold wanting most samples
-            # overall; further tie -> random
-            want = fold_class_desired[:, cls]
-            best = np.flatnonzero(want == want.max())
-            if len(best) > 1:
-                sizes = fold_sizes[best]
-                best = best[sizes == sizes.max()]
-                fold = best[rng.randint(len(best))] if len(best) > 1 else best[0]
-            else:
-                fold = best[0]
-            fold_of[s] = fold
-            unassigned[s] = False
-            fold_class_desired[fold, labels[s]] -= 1
-            fold_sizes[fold] -= 1
-            remaining[s] = False
+        # label with the fewest (but >=1) remaining examples; random tie
+        label_idx = np.where(
+            num_labels == num_labels[np.nonzero(num_labels)[0]].min()
+        )[0]
+        if label_idx.shape[0] > 1:
+            label_idx = label_idx[random_state.choice(label_idx.shape[0])]
 
-    # leftover zero-label samples: feed the emptiest folds
-    for s in np.flatnonzero(unassigned):
-        fold = int(np.argmax(fold_sizes))
-        fold_of[s] = fold
-        fold_sizes[fold] -= 1
+        sample_idxs = np.where(
+            np.logical_and(labels[:, label_idx].flatten(), not_processed)
+        )[0]
+        for sample_idx in sample_idxs:
+            # fold desiring this label most; ties -> most desired samples
+            # overall; further ties -> random
+            label_folds = c_folds_labels[:, label_idx]
+            fold_idx = np.where(label_folds == label_folds.max())[0]
+            if fold_idx.shape[0] > 1:
+                temp_fold_idx = np.where(
+                    c_folds[fold_idx] == c_folds[fold_idx].max()
+                )[0]
+                fold_idx = fold_idx[temp_fold_idx]
+                if temp_fold_idx.shape[0] > 1:
+                    fold_idx = fold_idx[
+                        random_state.choice(temp_fold_idx.shape[0])]
+            fold_idx = int(np.atleast_1d(fold_idx)[0])
+            test_folds[sample_idx] = fold_idx
+            not_processed[sample_idx] = False
+            c_folds_labels[fold_idx, labels[sample_idx]] -= 1
+            c_folds[fold_idx] -= 1
 
-    return fold_of
+    return test_folds
 
 
 class MultilabelStratifiedKFold:
-    """Drop-in equivalent of iterstrat's MultilabelStratifiedKFold."""
+    """Drop-in equivalent of iterstrat's MultilabelStratifiedKFold,
+    including its shuffle mechanism (shuffle the sample order once, fold on
+    the shuffled labels, un-shuffle the assignment)."""
 
     def __init__(self, n_splits: int, shuffle: bool = True,
                  random_state: int | None = None):
@@ -96,11 +108,24 @@ class MultilabelStratifiedKFold:
         self.shuffle = shuffle
         self.random_state = random_state
 
+    def _make_test_folds(self, y: np.ndarray) -> np.ndarray:
+        y = np.asarray(y, dtype=bool)
+        rng = (
+            np.random.RandomState(self.random_state)
+            if not isinstance(self.random_state, np.random.RandomState)
+            else self.random_state
+        )
+        indices = np.arange(y.shape[0])
+        if self.shuffle:
+            rng.shuffle(indices)
+            y = y[indices]
+        r = np.asarray([1 / self.n_splits] * self.n_splits)
+        test_folds = iterative_stratification(y, r, rng)
+        return test_folds[np.argsort(indices)]
+
     def split(self, X, y) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        y = np.asarray(y)
-        seed = self.random_state if self.random_state is not None else 0
-        fold_of = iterative_stratification(y, self.n_splits, seed)
-        indices = np.arange(len(y))
+        fold_of = self._make_test_folds(np.asarray(y))
+        indices = np.arange(len(fold_of))
         for fold in range(self.n_splits):
             valid = indices[fold_of == fold]
             train = indices[fold_of != fold]

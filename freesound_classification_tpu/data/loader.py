@@ -39,6 +39,8 @@ class DataLoader:
         train: bool = False,
         num_workers: int = 0,
         prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.sampler = sampler
@@ -46,6 +48,14 @@ class DataLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self._epoch = 0
+        # multi-host SPMD (SURVEY §2b "keeps per-host data loading
+        # disjoint"): every host builds the IDENTICAL global batch plan
+        # (same sampler seed), then decodes only its own row slice of each
+        # batch — hosts stay in lock-step with identical batch counts and
+        # bucket shapes while reading disjoint clips. mesh.shard_batch
+        # assembles the global array from the per-host shards.
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self) -> int:
         return len(self.sampler)
@@ -56,15 +66,32 @@ class DataLoader:
         b = bucket_of(self.sampler.lengths[indices], self.sampler.ladder)
         return int(self.sampler.ladder[int(b.max())])
 
+    def _local_rows(self, indices: List[int]) -> List[int]:
+        """This host's disjoint slice of a global batch's rows.
+
+        Tail batches not divisible by process_count are padded by repeating
+        the final index (mesh-padding style; every host computes the same
+        padded plan, so the global batch stays consistent)."""
+        if self.process_count <= 1:
+            return list(indices)
+        indices = list(indices)
+        rem = (-len(indices)) % self.process_count
+        indices = indices + [indices[-1]] * rem
+        per = len(indices) // self.process_count
+        return indices[self.process_index * per:
+                       (self.process_index + 1) * per]
+
     def _make_batch(self, indices: List[int]) -> dict:
         length = self._bucket_length(indices)
+        indices = self._local_rows(indices)
         n = len(indices)
         signal = np.zeros((n, length), dtype=np.float32)
         lengths = np.zeros(n, dtype=np.int32)
         labels = np.zeros((n, self.dataset.n_classes), dtype=np.float32)
         is_noisy = np.zeros(n, dtype=np.float32)
         for row, idx in enumerate(indices):
-            audio = self.dataset.decode(idx, train=self.train)
+            audio = self.dataset.decode(
+                idx, train=self.train, epoch=self._epoch)
             signal[row] = pad_to_length(audio, length)
             lengths[row] = min(audio.size, length)
             label, noisy = self.dataset.sample_meta(idx)
@@ -81,9 +108,12 @@ class DataLoader:
     def __iter__(self) -> Iterator[dict]:
         # fresh shuffle every epoch (torch DataLoader(shuffle=True)
         # semantics; the bucketed batch plan is rebuilt under epoch-keyed
-        # seeds so batch composition varies across epochs)
-        if self.train and self.sampler.shuffle:
-            self.sampler.set_epoch(self._epoch)
+        # seeds so batch composition varies across epochs). The epoch
+        # counter advances for every train-mode pass even when unshuffled,
+        # so stochastic-crop TTA passes draw fresh crop offsets.
+        if self.train:
+            if self.sampler.shuffle:
+                self.sampler.set_epoch(self._epoch)
             self._epoch += 1
         batches = list(self.sampler)
         if self.num_workers <= 0:
@@ -135,12 +165,28 @@ def make_loader(
     drop_last: Optional[bool] = None,
     size_multiple: int = 1,
     num_workers: int = 0,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
 ) -> DataLoader:
-    """Convenience constructor wiring dataset lengths into the sampler."""
+    """Convenience constructor wiring dataset lengths into the sampler.
+
+    For multi-host SPMD, pass (process_index, process_count) — or leave
+    None to pick them up from the JAX runtime — and a ``size_multiple``
+    divisible by process_count so every global batch splits evenly.
+    """
+    if process_index is None or process_count is None:
+        import jax
+
+        process_index = jax.process_index()
+        process_count = jax.process_count()
     if shuffle is None:
         shuffle = train
     if drop_last is None:
         drop_last = train  # reference train loader: drop_last=True
+    if process_count > 1:
+        import math
+
+        size_multiple = math.lcm(max(size_multiple, 1), process_count)
     sampler = BucketBatchSampler(
         dataset.lengths,
         ladder,
@@ -151,4 +197,6 @@ def make_loader(
         drop_last=drop_last,
         size_multiple=size_multiple,
     )
-    return DataLoader(dataset, sampler, train=train, num_workers=num_workers)
+    return DataLoader(dataset, sampler, train=train, num_workers=num_workers,
+                      process_index=process_index,
+                      process_count=process_count)

@@ -48,8 +48,20 @@ def shard_batch(mesh: Mesh, batch: Mapping[str, np.ndarray]) -> dict[str, Any]:
 
     Batch sizes must divide the mesh size — the bucketed loader guarantees
     this (data.bucketing pads batches to a multiple of the mesh size).
+
+    Single-host: a plain sharded device_put. Multi-host SPMD (a mesh
+    spanning processes): ``batch`` is this host's disjoint shard (the
+    loader's per-process row slice) and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — per-host data loading
+    stays disjoint (SURVEY §2b) while jit sees one global batch.
     """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(
+                sharding, np.asarray(v))
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(np.asarray(v), sharding) for k, v in batch.items()}
 
 

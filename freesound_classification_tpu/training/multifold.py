@@ -13,10 +13,22 @@ padding invariance) and stacked to (K, B, L).
   embarrassingly parallel, so K folds on K devices run at single-fold
   wall-time with zero collectives between folds. This is the SURVEY §2b
   "map folds onto devices" scale-out.
+
+Correctness parity with the sequential path:
+- per-fold batches are PADDED to the largest fold batch (repeating the last
+  row, mesh-padding style) and masked out of loss/metric — no clip is ever
+  trimmed away;
+- the lock-step epoch runs to the LONGEST fold loader, cycling shorter
+  loaders (every fold consumes its full epoch of data; folds whose loader is
+  shorter see a few re-drawn batches);
+- resume (full stacked state via per-fold last_model checkpoints +
+  progress.json), periodic ``save_every`` checkpoints, and per-fold
+  tensorboard writers match Engine.fit_validate semantics.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import List, Optional, Sequence
 
@@ -44,22 +56,50 @@ def make_fold_mesh(n_folds: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:use]), ("fold",))
 
 
-def _stack_batches(batches: Sequence[dict]) -> dict:
-    """Pad K per-fold batches to a common bucket length and stack to
-    (K, B, ...). Zero-padding + per-sample lengths keep results exact."""
+def _stack_batches(batches: Sequence[dict]):
+    """Pad K per-fold batches to a common (max batch, max length) and stack
+    to (K, B, ...). Short batches are padded by repeating their last row
+    (mesh-padding style, keeps BN statistics non-degenerate); the returned
+    ``n_real`` (K,) marks how many rows of each fold are genuine so the step
+    masks the padding out of loss/metric. Zero-padding along time +
+    per-sample lengths keep featurization exact."""
     max_len = max(b["signal"].shape[1] for b in batches)
-    min_bs = min(b["signal"].shape[0] for b in batches)
+    max_bs = max(b["signal"].shape[0] for b in batches)
+    n_real = np.array([b["signal"].shape[0] for b in batches], np.int32)
     out = {}
+
+    def pad_rows(x, bs):
+        if x.shape[0] == bs:
+            return x
+        reps = np.repeat(x[-1:], bs - x.shape[0], axis=0)
+        return np.concatenate([x, reps], axis=0)
+
     sig = []
     for b in batches:
-        s = b["signal"][:min_bs]
+        s = np.asarray(b["signal"])
         if s.shape[1] < max_len:
             s = np.pad(s, ((0, 0), (0, max_len - s.shape[1])))
-        sig.append(s)
+        sig.append(pad_rows(s, max_bs))
     out["signal"] = np.stack(sig)
     for key in ("lengths", "labels", "is_noisy"):
-        out[key] = np.stack([np.asarray(b[key][:min_bs]) for b in batches])
-    return out
+        out[key] = np.stack(
+            [pad_rows(np.asarray(b[key]), max_bs) for b in batches])
+    return out, n_real
+
+
+def _cycle_to(loader, n_steps: int):
+    """Yield exactly n_steps batches, re-iterating the loader as needed."""
+    done = 0
+    while done < n_steps:
+        got = False
+        for batch in loader:
+            got = True
+            yield batch
+            done += 1
+            if done >= n_steps:
+                return
+        if not got:
+            raise ValueError("empty fold loader in fold-parallel training")
 
 
 class MultiFoldEngine:
@@ -114,21 +154,27 @@ class MultiFoldEngine:
 
         seeds = jnp.arange(self.n_folds) + tpl.seed
         self.states = jax.vmap(init_one)(seeds)
+        self._shard_states()
+        self._build_vmapped_step()
+
+    def _shard_states(self) -> None:
         sharding = NamedSharding(self.mesh, P("fold"))
         self.states = jax.device_put(self.states, jax.tree.map(
             lambda _: sharding, self.states,
             is_leaf=lambda x: hasattr(x, "shape")))
-        self._build_vmapped_step()
 
     def _build_vmapped_step(self) -> None:
         tpl = self.template
         augment = tpl.augment
         frontend = tpl.frontend
 
-        def one_fold_step(state, batch, aug_scale):
+        def one_fold_step(state, batch, aug_scale, n_real):
             rng, step_rng, dropout_rng = jax.random.split(state.rng, 3)
             wave, lengths = batch["signal"], batch["lengths"]
             labels = batch.get("labels")
+            row_mask = (
+                jnp.arange(wave.shape[0], dtype=jnp.int32) < n_real
+            )
             if augment is not None:
                 wave, lengths, labels = augment(
                     wave, lengths, labels, step_rng, aug_scale)
@@ -137,42 +183,60 @@ class MultiFoldEngine:
             def loss_of(params):
                 return tpl._forward_loss(
                     params, state.batch_stats, inputs, frame_lengths,
-                    labels, dropout_rng, train=True)
+                    labels, dropout_rng, train=True,
+                    row_mask=None if tpl.self_supervised else row_mask)
 
             (loss, (logits, new_stats, _)), grads = jax.value_and_grad(
                 loss_of, has_aux=True)(state.params)
             state = state.apply_gradients(
                 grads=grads, batch_stats=new_stats, rng=rng)
             metric = (
-                metrics_lib.lwlrap_jax(labels, jax.nn.sigmoid(logits))
+                metrics_lib.lwlrap_jax(labels, jax.nn.sigmoid(logits),
+                                       row_mask=row_mask)
                 if logits is not None and labels is not None
                 else jnp.float32(0.0)
             )
             return state, loss, metric
 
-        vstep = jax.vmap(one_fold_step, in_axes=(0, 0, None))
+        vstep = jax.vmap(one_fold_step, in_axes=(0, 0, None, 0))
         self._vmapped_step = jax.jit(vstep, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
 
-    def train_epoch(self, fold_loaders: List, aug_scale: float = 1.0):
-        """One lock-step pass: each global step consumes one batch per fold
-        (epoch length = shortest fold loader)."""
+    def train_epoch(self, fold_loaders: List, aug_scale: float = 1.0,
+                    writers: Optional[list] = None, log_interval: int = 25):
+        """One lock-step pass: each global step consumes one batch per fold.
+
+        The epoch runs to the LONGEST fold loader; shorter loaders cycle
+        (fresh iterators, so their reshuffle still advances) — every fold
+        consumes at least its full epoch of data and no batch is trimmed.
+        """
         losses, metrics = [], []
+        n_steps = max(len(l) for l in fold_loaders)
         sharding = NamedSharding(self.mesh, P("fold"))
-        for batches in zip(*[iter(l) for l in fold_loaders]):
-            stacked = _stack_batches(batches)
+        iters = [_cycle_to(l, n_steps) for l in fold_loaders]
+        for step_idx, batches in enumerate(zip(*iters)):
+            stacked, n_real = _stack_batches(batches)
             device_batch = {
                 k: jax.device_put(v, sharding) for k, v in stacked.items()
             }
             self.global_step += 1
             self.states, loss, metric = self._vmapped_step(
-                self.states, device_batch, jnp.float32(aug_scale))
-            losses.append(np.asarray(loss))
-            metrics.append(np.asarray(metric))
+                self.states, device_batch, jnp.float32(aug_scale),
+                jnp.asarray(n_real))
+            losses.append(loss)
+            metrics.append(metric)
+            if writers and step_idx % log_interval == 0:
+                loss_h, metric_h = np.asarray(loss), np.asarray(metric)
+                for k, w in enumerate(writers):
+                    if w is None:
+                        continue
+                    w.add_scalar("loss", float(loss_h[k]), self.global_step)
+                    w.add_scalar("metric", float(metric_h[k]),
+                                 self.global_step)
         return {
-            "loss": np.mean(losses, axis=0),
-            "metric": np.mean(metrics, axis=0),
+            "loss": np.mean([np.asarray(x) for x in losses], axis=0),
+            "metric": np.mean([np.asarray(x) for x in metrics], axis=0),
         }
 
     def fold_state(self, fold: int):
@@ -191,32 +255,98 @@ class MultiFoldEngine:
 
     def save_fold_checkpoints(self, checkpoint_dir: str,
                               name: str = "best_model") -> None:
-        for fold in range(self.n_folds):
-            path = os.path.join(checkpoint_dir, f"fold_{fold}", name)
-            ckpt_lib.save_state(path, self.fold_state(fold))
+        for k in range(self.n_folds):
+            path = os.path.join(
+                checkpoint_dir, f"fold_{self.fold_ids[k]}", name)
+            ckpt_lib.save_state(path, self.fold_state(k))
+
+    def load_fold_checkpoints(self, checkpoint_dir: str,
+                              name: str = "last_model") -> None:
+        """Restore every fold's checkpoint into the stacked state."""
+        restored = []
+        for k in range(self.n_folds):
+            path = os.path.join(
+                checkpoint_dir, f"fold_{self.fold_ids[k]}", name)
+            # orbax wants jax-typed leaves in the restore target (0-dim
+            # numpy scalars from fold_state are rejected)
+            target = jax.tree.map(jnp.asarray, self.fold_state(k))
+            restored.append(ckpt_lib.restore_state(path, target))
+        self.states = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *restored)
+        self._shard_states()
+
+    # ------------------------------------------------------------------
+
+    def _progress_path(self, checkpoint_dir: str) -> str:
+        return os.path.join(checkpoint_dir, "multifold_progress.json")
 
     def fit(self, fold_train_loaders, fold_valid_loaders, epochs: int,
-            checkpoint_dir: Optional[str] = None) -> list:
-        """Train all folds simultaneously; returns per-fold best scores."""
+            checkpoint_dir: Optional[str] = None, resume: bool = False,
+            log_interval: int = 25) -> list:
+        """Train all folds simultaneously; returns per-fold best scores.
+
+        Mirrors Engine.fit_validate: per-epoch validation, rolling
+        best/last checkpoints, periodic ``_save_every`` checkpoints,
+        epoch-gated augmentation switch-off, tensorboard writers (via the
+        template's writer factory), and exact mid-training resume.
+        """
         cfg = self.template.train_config
-        steps_per_epoch = min(len(l) for l in fold_train_loaders)
+        steps_per_epoch = max(len(l) for l in fold_train_loaders)
         self.make_optimizer(
             max_steps=steps_per_epoch * epochs,
             steps_per_epoch=steps_per_epoch)
         first = next(iter(fold_train_loaders[0]))
         self.init_states(first)
 
+        train_writers, valid_writers = None, None
+        if self.template._writer_factory is not None:
+            train_writers = [
+                self.template._writer_factory(f, "train")
+                for f in self.fold_ids
+            ]
+            valid_writers = [
+                self.template._writer_factory(f, "valid")
+                for f in self.fold_ids
+            ]
+
         switch_off = int(getattr(cfg, "switch_off_augmentations_on", 10**9))
+        save_every = int(getattr(cfg, "_save_every", 10**9))
+
         best = [-np.inf] * self.n_folds
-        for epoch in range(epochs):
+        start_epoch = 0
+        if resume and checkpoint_dir is not None:
+            try:
+                with open(self._progress_path(checkpoint_dir)) as f:
+                    meta = json.load(f)
+            except FileNotFoundError:
+                meta = None
+            if meta is not None:
+                self.load_fold_checkpoints(checkpoint_dir, "last_model")
+                start_epoch = meta["epoch"] + 1
+                best = list(meta["best"])
+                self.global_step = meta["global_step"]
+                for loader in fold_train_loaders:
+                    if hasattr(loader, "_epoch"):
+                        loader._epoch = start_epoch
+                print(f"resuming folds {self.fold_ids} from epoch "
+                      f"{start_epoch} (best {np.round(best, 4)})")
+
+        for epoch in range(start_epoch, epochs):
             aug_scale = 0.0 if epoch >= switch_off else 1.0
-            stats = self.train_epoch(fold_train_loaders, aug_scale)
+            stats = self.train_epoch(
+                fold_train_loaders, aug_scale,
+                writers=train_writers, log_interval=log_interval)
             scores = [
                 self.validate_fold(k, fold_valid_loaders[k])
                 for k in range(self.n_folds)
             ]
             print(f"epoch {epoch}: loss {np.round(stats['loss'], 4)} "
                   f"val {np.round(scores, 4)}")
+            if valid_writers is not None:
+                for k, w in enumerate(valid_writers):
+                    if w is not None:
+                        w.add_scalar("metric", float(scores[k]),
+                                     self.global_step)
             for k, s in enumerate(scores):
                 if s > best[k]:
                     best[k] = s
@@ -226,4 +356,15 @@ class MultiFoldEngine:
                                          f"fold_{self.fold_ids[k]}",
                                          "best_model"),
                             self.fold_state(k))
+            if checkpoint_dir is not None:
+                if epoch % save_every == 0:
+                    self.save_fold_checkpoints(
+                        checkpoint_dir, f"model_on_epoch_{epoch}")
+                self.save_fold_checkpoints(checkpoint_dir, "last_model")
+                with open(self._progress_path(checkpoint_dir), "w") as f:
+                    json.dump({
+                        "epoch": epoch,
+                        "best": [float(b) for b in best],
+                        "global_step": self.global_step,
+                    }, f)
         return best

@@ -65,10 +65,14 @@ class TestFolds:
         splits = list(mskf.split(np.arange(n), y))
         all_valid = np.concatenate([v for _, v in splits])
         assert sorted(all_valid.tolist()) == list(range(n))
-        # per-class counts roughly balanced across folds
+        # per-class counts roughly balanced across folds (the greedy
+        # Sechidis algorithm — matching iterstrat exactly — allows a
+        # slightly wider spread than a candidate-shuffling variant)
         counts = np.stack([y[v].sum(axis=0) for _, v in splits])
         spread = counts.max(axis=0) - counts.min(axis=0)
-        assert (spread <= np.maximum(3, 0.4 * counts.mean(axis=0))).all()
+        # per-class worst case stays bounded and the average spread small
+        assert spread.max() <= 6
+        assert spread.mean() <= 2.0
 
     def test_deterministic_under_seed(self):
         rng = np.random.RandomState(1)
@@ -79,6 +83,18 @@ class TestFolds:
                  .split(np.arange(60), y))
         for (ta, va), (tb, vb) in zip(a, b):
             np.testing.assert_array_equal(va, vb)
+
+    def test_golden_fold_membership(self):
+        """Pinned fold assignment for a fixed (labels, seed) fixture — fold
+        membership must stay reproducible across framework versions so OOF
+        artifacts remain comparable (VERDICT r1 #10)."""
+        rng = np.random.RandomState(3)
+        y = (rng.rand(24, 4) < 0.3).astype(np.float32)
+        got = folds.MultilabelStratifiedKFold(
+            3, random_state=42)._make_test_folds(y)
+        golden = [0, 1, 1, 2, 1, 2, 1, 1, 1, 0, 2, 1,
+                  0, 1, 2, 0, 2, 0, 0, 0, 2, 2, 2, 0]
+        np.testing.assert_array_equal(got, golden)
 
     def test_binarize(self):
         cm = {"Bark": 0, "Meow": 1, "Moo": 2}
@@ -194,3 +210,66 @@ class TestLoaderEndToEnd:
         a = [tuple(b["index"]) for b in loader]
         b = [tuple(b["index"]) for b in loader]
         assert a == b
+
+
+class TestMultiHostLoading:
+    """Per-host disjoint data loading (SURVEY §2b): hosts share one global
+    batch plan and decode disjoint row slices."""
+
+    def _loaders(self, wav_dir, n_hosts, **kw):
+        files, _ = wav_dir
+        ladder = bucketing.make_bucket_ladder(80000, min_length=4096)
+        return [
+            make_loader(
+                ClipDataset(files, sr=44100), ladder, batch_size=4,
+                train=False, shuffle=False, drop_last=False,
+                process_index=h, process_count=n_hosts, **kw)
+            for h in range(n_hosts)
+        ]
+
+    def test_hosts_agree_on_plan_and_split_rows(self, wav_dir):
+        files, lengths = wav_dir
+        loaders = self._loaders(wav_dir, 2)
+        per_host = [list(l) for l in loaders]
+        assert len(per_host[0]) == len(per_host[1])
+        seen = [set(), set()]
+        for b0, b1 in zip(*per_host):
+            # identical bucket shape (lock-step SPMD requirement)
+            assert b0["signal"].shape[1] == b1["signal"].shape[1]
+            # equal local rows = global/n_hosts
+            assert b0["signal"].shape[0] == b1["signal"].shape[0]
+            seen[0].update(b0["index"].tolist())
+            seen[1].update(b1["index"].tolist())
+        # disjoint except tail-padding repeats; union covers every clip
+        union = seen[0] | seen[1]
+        assert union == set(range(len(files)))
+
+    def test_single_host_unchanged(self, wav_dir):
+        files, _ = wav_dir
+        ladder = bucketing.make_bucket_ladder(80000, min_length=4096)
+        base = make_loader(
+            ClipDataset(files, sr=44100), ladder, batch_size=4,
+            train=False, shuffle=False, drop_last=False,
+            process_index=0, process_count=1)
+        multi = self._loaders(wav_dir, 2)
+        got = np.sort(np.concatenate(
+            [b["index"] for l in multi for b in l]))
+        want = np.sort(np.concatenate([b["index"] for b in base]))
+        # every clip the single-host loader serves is served by some host
+        assert set(want.tolist()) <= set(got.tolist())
+
+    def test_global_batch_assembles(self, wav_dir):
+        """Simulated 2-host global batch equals the single-host batch rows
+        (order within the global batch = host-major)."""
+        files, _ = wav_dir
+        ladder = bucketing.make_bucket_ladder(80000, min_length=4096)
+        single = list(make_loader(
+            ClipDataset(files, sr=44100), ladder, batch_size=4,
+            train=False, shuffle=False, drop_last=False,
+            process_index=0, process_count=1))
+        halves = [list(l) for l in self._loaders(wav_dir, 2)]
+        for s, h0, h1 in zip(single, *halves):
+            glob = np.concatenate([h0["index"], h1["index"]])
+            # the global plan's rows (possibly tail-padded) start with the
+            # single-host batch's rows
+            assert list(glob[: len(s["index"])]) == list(s["index"])

@@ -21,10 +21,32 @@ class TestStacking:
              "lengths": np.full(4, 60, "i4"),
              "labels": np.ones((4, 3), "f4"),
              "is_noisy": np.zeros(4, "f4")}
-        out = _stack_batches([a, b])
+        out, n_real = _stack_batches([a, b])
         assert out["signal"].shape == (2, 4, 100)
         assert np.all(out["signal"][1, :, 60:] == 0)
         assert out["lengths"][1, 0] == 60
+        assert list(n_real) == [4, 4]
+
+    def test_unequal_batch_sizes_pad_not_trim(self):
+        """Round-1 bug: batches were trimmed to the smallest fold batch,
+        silently dropping clips. Now the smaller batch pads by repeating
+        its last row and n_real marks the genuine rows."""
+        a = {"signal": np.arange(12, dtype="f4").reshape(6, 2),
+             "lengths": np.full(6, 2, "i4"),
+             "labels": np.ones((6, 3), "f4"),
+             "is_noisy": np.zeros(6, "f4")}
+        b = {"signal": np.arange(8, dtype="f4").reshape(4, 2) + 100,
+             "lengths": np.full(4, 2, "i4"),
+             "labels": np.ones((4, 3), "f4"),
+             "is_noisy": np.zeros(4, "f4")}
+        out, n_real = _stack_batches([a, b])
+        assert out["signal"].shape == (2, 6, 2)
+        assert list(n_real) == [6, 4]
+        # fold 0 keeps every row (nothing trimmed)
+        np.testing.assert_array_equal(out["signal"][0], a["signal"])
+        # fold 1's padding repeats its last real row
+        np.testing.assert_array_equal(out["signal"][1, 4], b["signal"][3])
+        np.testing.assert_array_equal(out["signal"][1, 5], b["signal"][3])
 
     def test_fold_mesh_divides(self):
         mesh = make_fold_mesh(2)
@@ -64,6 +86,48 @@ class TestMultiFoldTraining:
         eng.load_best_model(0)
         preds = eng.predict(fold_valid[0])
         assert preds.shape == (8, 4)
+
+    def test_epoch_consumes_every_batch(self, tmp_path):
+        """Unequal loader lengths: the epoch runs to the longest loader and
+        shorter ones cycle — no clip is silently dropped (round-1 bug)."""
+
+        class CountingLoader(ListLoader):
+            def __init__(self, batches):
+                super().__init__(batches)
+                self.yielded = 0
+
+            def __iter__(self):
+                for b in list.__iter__(self):
+                    self.yielded += 1
+                    yield b
+
+        long_l = CountingLoader(_synthetic_batches(3, 8, seed=0))
+        short_l = CountingLoader(_synthetic_batches(2, 8, seed=1))
+        template = _make_engine(tmp_path)
+        mf = MultiFoldEngine(template, 2)
+        mf.make_optimizer(max_steps=3, steps_per_epoch=3)
+        mf.init_states(long_l[0])
+        mf.train_epoch([long_l, short_l])
+        assert long_l.yielded == 3          # full epoch of the longest
+        assert short_l.yielded == 3         # 2 + 1 cycled
+
+    def test_resume_continues(self, tmp_path):
+        fold_train = [
+            ListLoader(_synthetic_batches(2, 8, seed=k)) for k in range(2)
+        ]
+        template = _make_engine(tmp_path)
+        mf = MultiFoldEngine(template, 2)
+        mf.fit(fold_train, fold_train, epochs=2,
+               checkpoint_dir=str(tmp_path))
+        step_after_2 = mf.global_step
+
+        template2 = _make_engine(tmp_path)
+        mf2 = MultiFoldEngine(template2, 2)
+        best = mf2.fit(fold_train, fold_train, epochs=3,
+                       checkpoint_dir=str(tmp_path), resume=True)
+        # resumed at epoch 2, ran exactly one more epoch
+        assert mf2.global_step == step_after_2 + len(fold_train[0])
+        assert len(best) == 2
 
     def test_folds_learn_independently(self, tmp_path):
         """Fold 0 and fold 1 see different data -> different params."""
