@@ -134,15 +134,19 @@ def main():
                 (jnp.asarray(wave),
                  jnp.asarray(lengths[chunk].astype(np.int32))))
 
-    # warmup: compile every bucket shape
+    # warmup: compile every bucket shape. NOTE: over the axon tunnel,
+    # block_until_ready returns WITHOUT waiting for execution — only a
+    # value readback forces completion (device programs still run serially,
+    # so forcing the last output forces everything before it).
     for wave, ln in batches:
-        infer_5fold(wave, ln).block_until_ready()
+        out = infer_5fold(wave, ln)
+    float(jnp.sum(out))
 
     # timed: the full 5-fold ensemble over the whole test set
     t0 = time.time()
     for wave, ln in batches:
         out = infer_5fold(wave, ln)
-    out.block_until_ready()
+    float(jnp.sum(out))
     dt = time.time() - t0
 
     clips_per_sec = N_CLIPS / dt

@@ -89,6 +89,9 @@ def add_train_arguments(parser: argparse.ArgumentParser) -> None:
     req("--scheduler", type=str, default="steplr_1_0.5")
     req("--accumulation_steps", type=int, default=1)
     req("--save_every", type=int, default=1)
+    req("--keep_checkpoints", type=int, default=0,
+        help="retention for periodic model_on_epoch_N checkpoints: keep "
+             "only the newest K (0 = keep all, reference behavior)")
     req("--device", type=str, default="tpu", choices=("tpu", "cpu", "cuda"),
         help="accelerator platform (cuda accepted for reference-CLI "
              "compatibility; jax picks the actual backend)")
@@ -174,6 +177,7 @@ def experiment_config(args, model_label: str, n_classes: int, input_dim: int,
             "optimizer": args.optimizer,
             "epochs": args.epochs,
             "_save_every": args.save_every,
+            "_keep_checkpoints": args.keep_checkpoints,
             "weight_decay": args.weight_decay,
             "switch_off_augmentations_on": args.switch_off_augmentations_on,
             "_loss": args.loss,
@@ -463,12 +467,24 @@ def run_folds_parallel(args, experiment, model_kind, n_classes,
         emit_fold_artifacts(engine, fold, valid_loaders[k], per_fold[k][2])
 
 
-def predict_ordered(engine: Engine, loader) -> np.ndarray:
+def predict_ordered(engine: Engine, loader, tta_fn=None,
+                    tta_key=None) -> np.ndarray:
     """Prediction matrix in dataset order (bucketed loaders permute rows;
-    the reference's sequential loader does not — undo the permutation)."""
+    the reference's sequential loader does not — undo the permutation).
+
+    ``tta_fn(wave, lengths, key) -> (wave, lengths)`` optionally perturbs
+    each batch on device (noise / time-shift TTA, ops.augment.tta_perturb)."""
+    import jax
+
+    tta_jit = jax.jit(tta_fn) if tta_fn is not None else None
     probs_chunks, idx_chunks = [], []
-    for batch in loader:
+    for bi, batch in enumerate(loader):
         device_batch, n = engine._prep_batch(batch)
+        if tta_jit is not None:
+            key = jax.random.fold_in(tta_key, bi)
+            w, ln = tta_jit(device_batch["signal"],
+                            device_batch["lengths"], key)
+            device_batch = dict(device_batch, signal=w, lengths=ln)
         out = engine._eval_step(engine.state, device_batch,
                                  jnp.int32(n))
         probs_chunks.append(np.asarray(out["probs"])[:n])
@@ -478,6 +494,19 @@ def predict_ordered(engine: Engine, loader) -> np.ndarray:
     out = np.zeros_like(probs)
     out[order] = probs
     return out
+
+
+def make_tta_fn(noise_snr_db: float, shift_max_s: float):
+    """Build the on-device TTA perturbation from CLI knobs (None if off)."""
+    if noise_snr_db <= 0.0 and shift_max_s <= 0.0:
+        return None
+    from freesound_classification_tpu.ops.augment import tta_perturb
+
+    def fn(wave, lengths, key):
+        return tta_perturb(wave, lengths, key, noise_snr_db=noise_snr_db,
+                           shift_max_s=shift_max_s, sr=SR)
+
+    return fn
 
 
 def finalize_results(experiment, train_df, class_map, n_folds: int) -> None:

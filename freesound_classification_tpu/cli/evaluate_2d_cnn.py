@@ -50,6 +50,12 @@ def main(argv=None):
                         help="with --n_tta > 1, random-crop clips to this "
                              "many seconds per TTA pass (the reference's "
                              "stochastic eval transforms)")
+    parser.add_argument("--tta_noise_snr_db", type=float, default=0.0,
+                        help="with --n_tta > 1, add white noise this many dB "
+                             "below clip RMS on passes > 0 (0 = off)")
+    parser.add_argument("--tta_shift_max_s", type=float, default=0.0,
+                        help="with --n_tta > 1, random right time-shift up "
+                             "to this many seconds on passes > 0 (0 = off)")
     parser.add_argument("--per_class", action="store_true", default=False,
                         help="print the per-class lwlrap decomposition")
     parser.add_argument("--device", type=str, default="tpu",
@@ -91,9 +97,16 @@ def main(argv=None):
             num_workers=args.num_workers)
         engine = build_inference_engine(
             args, experiment, args.model_kind, fold, loader)
+        import jax
+
+        tta_fn = common.make_tta_fn(
+            args.tta_noise_snr_db, args.tta_shift_max_s)
         preds = np.mean(
-            [common.predict_ordered(engine, loader)
-             for _ in range(max(args.n_tta, 1))], axis=0)
+            [common.predict_ordered(
+                engine, loader,
+                tta_fn=(tta_fn if t > 0 else None),
+                tta_key=jax.random.PRNGKey(1000 * fold + t))
+             for t in range(max(args.n_tta, 1))], axis=0)
         labels = binarize_label_strings(
             [str(v) for v in train_df.labels.values[valid_idx]], class_map)
         m = lwlrap(labels, preds)

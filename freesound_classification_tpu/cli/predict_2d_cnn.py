@@ -36,9 +36,16 @@ def add_predict_arguments(parser):
     parser.add_argument("--n_tta", type=int, default=1)
     parser.add_argument("--tta_max_audio_length", type=int, default=None,
                         help="with --n_tta > 1, random-crop clips to this "
-                             "many seconds per TTA pass (required for TTA: "
-                             "the eval step is deterministic, so without a "
-                             "stochastic crop every pass is identical)")
+                             "many seconds per TTA pass (the reference's "
+                             "only TTA mode)")
+    parser.add_argument("--tta_noise_snr_db", type=float, default=0.0,
+                        help="with --n_tta > 1, add white noise this many "
+                             "dB below each clip's RMS on passes > 0 "
+                             "(on-device TTA; 0 = off)")
+    parser.add_argument("--tta_shift_max_s", type=float, default=0.0,
+                        help="with --n_tta > 1, random right time-shift up "
+                             "to this many seconds on passes > 0 "
+                             "(on-device TTA; 0 = off)")
     parser.add_argument("--device", type=str, default="tpu",
                         choices=("tpu", "cpu"),
                         help="backend to run inference on (reference "
@@ -84,11 +91,15 @@ def main(argv=None):
     )
     add_predict_arguments(parser)
     args = parser.parse_args(argv)
-    if args.n_tta > 1 and args.tta_max_audio_length is None:
+    tta_stochastic = (args.tta_max_audio_length is not None
+                      or args.tta_noise_snr_db > 0.0
+                      or args.tta_shift_max_s > 0.0)
+    if args.n_tta > 1 and not tta_stochastic:
         parser.error(
-            "--n_tta > 1 requires --tta_max_audio_length: inference is "
-            "deterministic, so TTA without a stochastic crop would average "
-            "identical passes")
+            "--n_tta > 1 requires a stochastic TTA mode "
+            "(--tta_max_audio_length, --tta_noise_snr_db or "
+            "--tta_shift_max_s): inference is deterministic, so TTA "
+            "without one would average identical passes")
     common.initialize_accelerator(args.device)
 
     experiment = Experiment(resume_from=args.experiment)
@@ -140,10 +151,16 @@ def main(argv=None):
                 args, experiment, args.model_kind, fold, loader)
             preds = common.predict_ordered(engine, loader)
             if args.n_tta > 1:
+                import jax
+
+                tta_fn = common.make_tta_fn(
+                    args.tta_noise_snr_db, args.tta_shift_max_s)
                 preds = np.mean(
                     [preds] + [
-                        common.predict_ordered(engine, loader)
-                        for _ in range(args.n_tta - 1)
+                        common.predict_ordered(
+                            engine, loader, tta_fn=tta_fn,
+                            tta_key=jax.random.PRNGKey(1000 * fold + t))
+                        for t in range(1, args.n_tta)
                     ], axis=0)
             all_predictions += preds / n_folds
 

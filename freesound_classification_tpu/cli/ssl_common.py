@@ -41,6 +41,8 @@ def add_ssl_arguments(parser: argparse.ArgumentParser) -> None:
     req("--scheduler", type=str, default="steplr_1_0.5")
     req("--accumulation_steps", type=int, default=1)
     req("--save_every", type=int, default=1)
+    req("--keep_checkpoints", type=int, default=0,
+        help="keep only the newest K periodic checkpoints (0 = all)")
     req("--device", type=str, default="tpu", choices=("tpu", "cpu", "cuda"))
     req("--weight_decay", type=float, default=1e-5)
     req("--p_aug", type=float, default=0.0)
@@ -123,6 +125,7 @@ def ssl_config(args, kind: str, n_classes: int, input_dim: int) -> dict:
             "optimizer": args.optimizer,
             "epochs": args.epochs,
             "_save_every": args.save_every,
+            "_keep_checkpoints": args.keep_checkpoints,
             "weight_decay": args.weight_decay,
             "switch_off_augmentations_on": args.switch_off_augmentations_on,
             "_proj_interval": args.proj_interval,

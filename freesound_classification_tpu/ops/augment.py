@@ -387,6 +387,56 @@ def effects_chain(
 
 
 # ---------------------------------------------------------------------------
+# Test-time augmentation perturbations (beyond the reference's crop re-draws)
+# ---------------------------------------------------------------------------
+
+
+def tta_perturb(
+    wave: jnp.ndarray,
+    lengths: jnp.ndarray,
+    key: jax.Array,
+    noise_snr_db: float = 0.0,
+    shift_max_s: float = 0.0,
+    sr: int = SR,
+):
+    """Light stochastic perturbation for TTA passes (ROADMAP #7).
+
+    The reference's only TTA is re-drawing the random crop
+    (evaluate_2d_cnn.py --n_tta); this adds two more modes, both on-device:
+    - additive white noise at ``noise_snr_db`` dB below the per-clip RMS
+      (0 disables),
+    - a random right time-shift of up to ``shift_max_s`` seconds (content
+      shifted into the padding; tails past the buffer are dropped).
+
+    Returns (wave, lengths). Deterministic (identity) when both knobs are 0.
+    """
+    b, l = wave.shape
+    k_noise, k_shift = jax.random.split(key)
+    out, out_len = wave, lengths
+
+    if shift_max_s > 0.0:
+        max_shift = max(int(shift_max_s * sr), 1)
+        shift = jax.random.randint(k_shift, (b,), 0, max_shift + 1)
+        rolled = jax.vmap(jnp.roll)(out, shift)
+        idx = jnp.arange(l)[None, :]
+        keep = (idx >= shift[:, None]) & (
+            idx < jnp.minimum(out_len + shift, l)[:, None])
+        out = jnp.where(keep, rolled, 0.0)
+        out_len = jnp.minimum(out_len + shift, l).astype(lengths.dtype)
+
+    if noise_snr_db > 0.0:
+        valid = (jnp.arange(l)[None, :] < out_len[:, None]).astype(out.dtype)
+        rms = jnp.sqrt(
+            jnp.sum(out * out * valid, axis=1)
+            / jnp.maximum(out_len.astype(out.dtype), 1.0))
+        sigma = rms * 10.0 ** (-noise_snr_db / 20.0)
+        noise = jax.random.normal(k_noise, (b, l), out.dtype)
+        out = out + noise * sigma[:, None] * valid
+
+    return out, out_len
+
+
+# ---------------------------------------------------------------------------
 # Pipeline assembly (the reference Compose of augmentations,
 # train_2d_cnn.py:310-322)
 # ---------------------------------------------------------------------------

@@ -181,17 +181,23 @@ def reverb_batch(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Apply sox-semantics reverb to a (B, L) batch; returns (out, new_len).
 
-    out = dry + wet (sox mono output), computed by FFT convolution with the
-    per-row freeverb IR. The static buffer truncates any tail beyond L.
+    out = dry + wet (sox mono output), computed by circular FFT convolution
+    against the closed-form wet transfer function sampled DIRECTLY on the
+    conv grid — no explicit IR, which saves the irfft->truncate->rfft
+    round trip of the IR formulation (two of its 3.5 big FFT passes) and
+    keeps the full decay tail instead of truncating at ``ir_seconds``.
+    ``ir_seconds`` now sizes the circular-wrap margin: wrap-around
+    contamination is exactly the IR tail beyond ``fft_len - L`` samples,
+    below the level the old truncation discarded. The static buffer
+    truncates any tail beyond L.
     """
     b, l = wave.shape
     ir_len = int(ir_seconds * sr)
-    ir = freeverb_ir(reverberance, room_scale, sr, ir_len)
     # pow2 conv length (non-pow2 rFFTs lower to dense DFT matmuls on TPU)
     fft_len = 1 << (l + ir_len - 1).bit_length()
+    h = wet_response(reverberance, room_scale, fft_len, sr)
     xf = jnp.fft.rfft(wave, fft_len, axis=-1)
-    hf = jnp.fft.rfft(ir, fft_len, axis=-1)
-    wet = jnp.fft.irfft(xf * hf, fft_len, axis=-1)[..., :l]
+    wet = jnp.fft.irfft(xf * h, fft_len, axis=-1)[..., :l]
     out = wet if wet_only else wave + wet
     tail = decay_samples(reverberance, room_scale, sr)
     new_len = jnp.minimum(lengths + tail, l)

@@ -22,12 +22,38 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from freesound_classification_tpu.ops.dsp import frame_signal, hann_window
+from freesound_classification_tpu.ops.dsp import (
+    num_stft_frames,
+    stft_spectrum_dft,
+)
 
 
 def _princarg(x):
     """Wrap phase to (-pi, pi]."""
     return x - 2.0 * jnp.pi * jnp.round(x / (2.0 * jnp.pi))
+
+
+@functools.lru_cache(maxsize=8)
+def _synthesis_basis(n_fft: int):
+    """Windowed inverse-rDFT basis (numpy f32): (icos, isin), each (F, n_fft).
+
+    syn_frame = re @ icos + im @ isin reproduces irfft(re + i*im) * window —
+    the inverse transform runs on the MXU instead of XLA's TPU FFT (the FFT
+    formulation dominated the phase-vocoder cost; see profile in ROADMAP).
+    """
+    import numpy as _np
+
+    n_bins = n_fft // 2 + 1
+    k = _np.arange(n_bins)[:, None]
+    n = _np.arange(n_fft)[None, :]
+    coef = _np.full((n_bins, 1), 2.0)
+    coef[0, 0] = 1.0
+    coef[-1, 0] = 1.0
+    ang = 2.0 * _np.pi * k * n / n_fft
+    w = 0.5 - 0.5 * _np.cos(2.0 * _np.pi * _np.arange(n_fft) / n_fft)
+    icos = (coef * _np.cos(ang) / n_fft) * w[None, :]
+    isin = (-coef * _np.sin(ang) / n_fft) * w[None, :]
+    return icos.astype(_np.float32), isin.astype(_np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop"))
@@ -43,54 +69,78 @@ def phase_vocoder_stretch(
     wave: (B, L) padded batch; lengths: valid samples; rate: (B,) in
     ~[0.8, 1.25]. Returns (stretched (B, L), new_lengths) — output stays in
     the same static buffer (tails beyond it are dropped).
+
+    TPU formulation: both transforms are MXU matmuls against precomputed
+    windowed (inverse-)DFT bases — analysis via dsp.stft_spectrum_dft (no
+    frame materialization), synthesis via the (F, n_fft) inverse basis with
+    the hann window and 1/N folded in — and no complex arrays anywhere
+    (complex64 intermediates have hit UNIMPLEMENTED on the TPU runtime).
+    OLA decomposes into n_fft//hop static shifted dense adds, never a
+    scatter (TPU scatter serializes and was ~60x the model cost).
     """
     b, l = wave.shape
-    window = hann_window(n_fft)
 
-    frames = frame_signal(wave, n_fft, hop) * window  # (B, T, n_fft)
-    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)  # (B, T, F)
-    t_in = spec.shape[1]
-    t_out = int(t_in * 1.25) + 1
+    re, im = stft_spectrum_dft(wave, n_fft, hop)  # (B, T, F) each
+    t_in = num_stft_frames(l, n_fft, hop)
+    # synthesis frames that can contribute to the l-sample static buffer:
+    # frame k covers output samples [k*hop - n_fft/2, ...); anything past
+    # (l + n_fft/2)/hop lands beyond the buffer and would be dropped (the
+    # old 1.25*t_in allocation wasted ~20% of the whole op on such frames)
+    t_out = (l + n_fft // 2) // hop + 2
 
     omega = 2.0 * jnp.pi * jnp.arange(n_fft // 2 + 1) / n_fft  # per-bin
     expected = omega * hop  # expected phase advance per analysis hop
 
-    mag = jnp.abs(spec)
-    phase = jnp.angle(spec)
+    mag = jnp.sqrt(re * re + im * im)
+    phase = jnp.arctan2(im, re)
 
-    def stretch_one(mag_i, phase_i, rate_i):
-        # per-output-frame analysis position
-        pos = jnp.arange(t_out) * rate_i
-        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, t_in - 2)
-        frac = jnp.clip(pos - i0, 0.0, 1.0)
+    # per-analysis-frame deviation-corrected phase advance (dense shift-diff
+    # in the input domain, so the output-domain interp needs ONE row gather)
+    dphi_in = _princarg(
+        phase[:, 1:] - phase[:, :-1] - expected[None, None, :]
+    ) + expected[None, None, :]  # (B, t_in - 1, F)
 
-        mag0 = mag_i[i0]          # (t_out, F)
-        mag1 = mag_i[i0 + 1]
-        mags = (1.0 - frac[:, None]) * mag0 + frac[:, None] * mag1
+    pos = jnp.arange(t_out)[None, :] * rate[:, None]  # (B, t_out)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, t_in - 2)
+    frac = jnp.clip(pos - i0, 0.0, 1.0)[..., None]
 
-        dphi = _princarg(phase_i[i0 + 1] - phase_i[i0] - expected) + expected
+    mag0 = jnp.take_along_axis(mag, i0[..., None], axis=1)
+    mag1 = jnp.take_along_axis(mag, (i0 + 1)[..., None], axis=1)
+    mags = (1.0 - frac) * mag0 + frac * mag1  # (B, t_out, F)
+    dphi = jnp.take_along_axis(dphi_in, i0[..., None], axis=1)
 
-        # librosa-style accumulation: frame k is synthesized with the phase
-        # *before* advancing by dphi(p_k) — an exclusive cumulative sum
-        # (inclusive would delay the output by one hop)
-        cum = jnp.cumsum(dphi, axis=0)
-        phis = phase_i[0][None, :] + jnp.concatenate(
-            [jnp.zeros_like(cum[:1]), cum[:-1]], axis=0)
-        return mags * jnp.exp(1j * phis)
+    # librosa-style accumulation: frame k is synthesized with the phase
+    # *before* advancing by dphi(p_k) — an exclusive cumulative sum
+    # (inclusive would delay the output by one hop)
+    cum = jnp.cumsum(dphi, axis=1)
+    phis = phase[:, :1] + jnp.concatenate(
+        [jnp.zeros_like(cum[:, :1]), cum[:, :-1]], axis=1)
+    # bf16 spectra into the synthesis matmuls: halves the HBM traffic of the
+    # output-domain arrays and puts the MXU in bf16; phase accumulation
+    # stays f32 (at rate 1.0 the dphi sum telescopes exactly, so identity
+    # reconstruction is unaffected; elsewhere ~1e-3 relative magnitude
+    # error is far below the phase vocoder's own artifacts)
+    out_re = (mags * jnp.cos(phis)).astype(jnp.bfloat16)
+    out_im = (mags * jnp.sin(phis)).astype(jnp.bfloat16)
 
-    out_spec = jax.vmap(stretch_one)(mag, phase, rate)  # (B, t_out, F)
-
-    # synthesis: inverse rFFT + windowed overlap-add. hop divides n_fft, so
-    # OLA decomposes into R = n_fft//hop static shifted adds — dense ops,
-    # never a scatter (TPU scatter serializes and was ~60x the model cost).
-    syn = jnp.fft.irfft(out_spec, n_fft, axis=-1) * window  # (B, t_out, n_fft)
+    # synthesis: windowed inverse rDFT as MXU matmuls, emitted per hop-sized
+    # column block and overlap-added with static shifted adds
+    icos, isin = _synthesis_basis(n_fft)
     r = n_fft // hop
     ola_frames = t_out + r - 1
     ola_len = ola_frames * hop
-    chunks = syn.reshape(b, t_out, r, hop)
     out = jnp.zeros((b, ola_frames, hop), jnp.float32)
     for o in range(r):
-        out = out.at[:, o : o + t_out].add(chunks[:, :, o])
+        chunk = jnp.einsum(
+            "btf,fh->bth", out_re,
+            jnp.asarray(icos[:, o * hop:(o + 1) * hop]).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) + jnp.einsum(
+            "btf,fh->bth", out_im,
+            jnp.asarray(isin[:, o * hop:(o + 1) * hop]).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        out = out.at[:, o : o + t_out].add(chunk)
     out = out.reshape(b, ola_len)
 
     # window-squared normalization — data-independent, computed at trace time

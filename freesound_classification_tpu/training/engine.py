@@ -458,6 +458,12 @@ class Engine:
             if self.checkpoint_dir is not None:
                 if epoch % save_every == 0:
                     self.save_checkpoint(fold, f"model_on_epoch_{epoch}")
+                    # retention policy for periodic checkpoints (0 = keep
+                    # all, the reference behavior)
+                    ckpt_lib.prune_epoch_checkpoints(
+                        os.path.join(self.checkpoint_dir, f"fold_{fold}"),
+                        int(getattr(cfg, "_keep_checkpoints", 0)),
+                    )
                 if score > best_score:
                     self.save_checkpoint(fold, "best_model")
                 self.save_checkpoint(fold, "last_model")

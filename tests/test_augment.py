@@ -207,3 +207,43 @@ class TestPipeline:
         w3, l3, y3 = jitted(w, l, y, KEY, jnp.float32(0.0))
         np.testing.assert_array_equal(w, w3)
         np.testing.assert_array_equal(y, y3)
+
+
+class TestTTAPerturb:
+    """noise / time-shift TTA perturbations (ops.augment.tta_perturb)."""
+
+    def test_identity_when_disabled(self):
+        w, l, _ = _batch(b=3, l=4096)
+        out, ln = augment.tta_perturb(w, l, KEY, 0.0, 0.0, sr=4096)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(w))
+        np.testing.assert_array_equal(np.asarray(ln), np.asarray(l))
+
+    def test_noise_changes_signal_at_given_snr(self):
+        w, l, _ = _batch(b=3, l=4096)
+        out, ln = augment.tta_perturb(w, l, KEY, noise_snr_db=20.0, sr=4096)
+        np.testing.assert_array_equal(np.asarray(ln), np.asarray(l))
+        diff = np.asarray(out) - np.asarray(w)
+        valid0 = int(l[0])
+        rms_sig = np.sqrt(np.mean(np.asarray(w)[0, :valid0] ** 2))
+        rms_noise = np.sqrt(np.mean(diff[0, :valid0] ** 2))
+        # ~20 dB below signal RMS (loose: finite sample)
+        assert 0.03 * rms_sig < rms_noise < 0.3 * rms_sig
+        # padding of a short row stays silent (row 1 is half length)
+        valid1 = int(l[1])
+        assert np.abs(diff[1, valid1:]).max() == 0.0
+
+    def test_shift_moves_content_right(self):
+        rng = np.random.RandomState(0)
+        w = jnp.asarray(rng.randn(2, 4096).astype("f4"))
+        l = jnp.asarray([2048, 4096])
+        out, ln = augment.tta_perturb(
+            w, l, KEY, shift_max_s=0.25, sr=4096)
+        out = np.asarray(out)
+        assert np.isfinite(out).all()
+        assert (np.asarray(ln) >= np.asarray(l)).all() or (
+            np.asarray(ln) == 4096).any()
+        # row with headroom: shifted content is a prefix-zero version
+        s = int(np.argmax(np.abs(out[0]) > 0))
+        if s > 0:
+            np.testing.assert_allclose(
+                out[0, s : s + 100], np.asarray(w)[0, :100], atol=1e-6)
