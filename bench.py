@@ -21,6 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: warm runs skip the ~1-3 min/program XLA compiles
+# that otherwise dominate the wall time over the axon tunnel
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from freesound_classification_tpu.data.bucketing import (
     bucket_of,
     make_bucket_ladder,
@@ -115,7 +121,10 @@ def main():
     buckets = bucket_of(lengths, ladder)
 
     # per-bucket batches sized to ~constant total samples (similar-length
-    # batching, the reference's winning inference trick, README.md:37)
+    # batching, the reference's winning inference trick, README.md:37).
+    # Chunks within a bucket are equalized (last one padded with repeated
+    # clips, not counted) so each bucket compiles exactly ONE program —
+    # XLA compiles at ~1-3 min/shape over the tunnel dominate otherwise.
     max_batch_elems = 128 * SR * 10
     batches = []
     rng = np.random.RandomState(1)
@@ -124,9 +133,13 @@ def main():
         if ids.size == 0:
             continue
         bl = ladder[b]
-        bs = max(min(int(max_batch_elems // bl), 512), 8)
-        for k in range(0, len(ids), bs):
-            chunk = ids[k : k + bs]
+        bs_cap = max(min(int(max_batch_elems // bl), 512), 8)
+        nb = -(-len(ids) // bs_cap)
+        bs = -(-len(ids) // nb)  # equal chunk size
+        padded = np.concatenate(
+            [ids, ids[: nb * bs - len(ids)]])  # repeat head clips as filler
+        for k in range(0, len(padded), bs):
+            chunk = padded[k : k + bs]
             wave = rng.randn(len(chunk), bl).astype(np.float32) * 0.1
             for row, i in enumerate(chunk):
                 wave[row, lengths[i]:] = 0.0

@@ -204,6 +204,159 @@ def resample_linear_pallas(wave: jnp.ndarray, factor: jnp.ndarray
     return _resample_pallas(wave, factor, interpret=not _on_tpu())
 
 
+# ---------------------------------------------------------------------------
+# Fused phase-vocoder resynthesis
+#
+# The PV stretch's output-domain middle (frame interpolation gathers, the
+# sequential phase accumulation, sin/cos, and the inverse-DFT synthesis
+# matmul) is one kernel: per 128 output frames it DMAs the needed analysis
+# rows, forms the interpolation as two small MXU matmuls (triangle weights
+# for magnitude lerp, one-hot for the phase-advance pick), carries the
+# accumulated phase across grid steps in VMEM scratch (a single sequential
+# pass instead of XLA's log-depth cumsum over HBM), rotates, and contracts
+# against the windowed inverse-rDFT basis on the MXU. As separate XLA ops
+# this stage cost ~22 ms at 64 x 10 s (gathers 12.3, cumsum 6.4,
+# sincos 2.3); fused it is HBM-traffic bound on the analysis tiles alone.
+# ---------------------------------------------------------------------------
+
+_PV_TM = 128  # output frames per grid step
+# analysis rows per step: >= TM * max_rate + interp margin + sublane
+# alignment slack (the DMA start must sit on the (8, 128) tiling grid)
+_PV_TILE_IN = 184
+_PV_MAX_RATE = 1.3  # supported stretch position step (aug uses <= 1.19)
+
+
+def _pv_resynth_kernel(rate_ref, mag_hbm, dphi_hbm, phase0_ref,
+                       icos_ref, isin_ref, out_ref,
+                       mag_tile, dphi_tile, carry, sems):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    rate = rate_ref[b]
+    t_in = mag_hbm.shape[1]
+
+    # align the tile start to the sublane tiling (Mosaic requires HBM
+    # slice offsets on the (8, 128) grid); the remainder moves into rel
+    start = jnp.clip(
+        (jnp.floor((t * _PV_TM) * rate).astype(jnp.int32) // 8) * 8,
+        0, t_in - _PV_TILE_IN)
+    start = pl.multiple_of(start, 8)
+    copy_m = pltpu.make_async_copy(
+        mag_hbm.at[b, pl.ds(start, _PV_TILE_IN), :], mag_tile, sems.at[0])
+    copy_d = pltpu.make_async_copy(
+        dphi_hbm.at[b, pl.ds(start, _PV_TILE_IN), :], dphi_tile, sems.at[1])
+    copy_m.start()
+    copy_d.start()
+
+    # output-frame analysis positions, relative to the tile start
+    j_col = jax.lax.broadcasted_iota(
+        jnp.int32, (_PV_TM, 1), 0).astype(jnp.float32)
+    pos = (t * _PV_TM + j_col) * rate  # (TM, 1) absolute
+    pos = jnp.clip(pos, 0.0, (t_in - 2) * 1.0)
+    rel = pos - start.astype(jnp.float32)  # in [0, TILE_IN)
+    s_row = jax.lax.broadcasted_iota(
+        jnp.int32, (_PV_TM, _PV_TILE_IN), 1).astype(jnp.float32)
+    # triangle weights = linear interp taps; exact one-hot = floor pick
+    w_tri = jnp.maximum(0.0, 1.0 - jnp.abs(s_row - rel))
+    w_one = (s_row == jnp.floor(rel)).astype(jnp.float32)
+
+    @pl.when(t == 0)
+    def _():
+        carry[:] = phase0_ref[0]
+
+    copy_m.wait()
+    copy_d.wait()
+    mags = jnp.dot(w_tri, mag_tile[:], preferred_element_type=jnp.float32)
+    dphi = jnp.dot(w_one, dphi_tile[:], preferred_element_type=jnp.float32)
+
+    # exclusive prefix sum as a strictly-lower-triangular MXU contraction
+    # (Mosaic has no cumsum lowering; a (TM, TM) ones-triangle dot is a
+    # 21 MFLOP afterthought on the MXU and yields the exclusive form
+    # directly)
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (_PV_TM, _PV_TM), 0)
+        > jax.lax.broadcasted_iota(jnp.int32, (_PV_TM, _PV_TM), 1)
+    ).astype(jnp.float32)
+    excl = jnp.dot(tri, dphi, preferred_element_type=jnp.float32)
+    phis = carry[:] + excl
+    carry[:] = carry[:] + jnp.sum(dphi, axis=0, keepdims=True)
+
+    out_re = (mags * jnp.cos(phis)).astype(jnp.bfloat16)
+    out_im = (mags * jnp.sin(phis)).astype(jnp.bfloat16)
+    syn = (
+        jnp.dot(out_re, icos_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(out_im, isin_ref[:], preferred_element_type=jnp.float32)
+    )
+    out_ref[0] = syn.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "t_out", "interpret"))
+def _pv_resynth(mag, dphi_in, phase0, rate, icos, isin, n_fft: int,
+                t_out: int, interpret: bool = False):
+    """(B, t_in, F) mag + (B, t_in-1, F) dphi -> (B, t_out, n_fft) bf16
+    windowed synthesis frames (irfft(mags*e^{i phis}) * window)."""
+    b, t_in, f = mag.shape
+    f_pad = _round_up(f, 128)
+    t_in_pad = _round_up(max(t_in, _PV_TILE_IN), 8)
+    t_out_pad = _round_up(t_out, _PV_TM)
+
+    mag_p = jnp.pad(
+        mag.astype(jnp.float32),
+        ((0, 0), (0, t_in_pad - t_in), (0, f_pad - f)))
+    # dphi row r = advance from analysis frame r to r+1; pad the missing
+    # final row with zeros (only reachable through the i0 clip)
+    dphi_p = jnp.pad(
+        dphi_in.astype(jnp.float32),
+        ((0, 0), (0, t_in_pad - (t_in - 1)), (0, f_pad - f)))
+    phase0_p = jnp.pad(
+        phase0.astype(jnp.float32), ((0, 0), (0, f_pad - f)))[:, None, :]
+    icos_p = jnp.pad(
+        icos.astype(jnp.bfloat16), ((0, f_pad - f), (0, 0)))
+    isin_p = jnp.pad(
+        isin.astype(jnp.bfloat16), ((0, f_pad - f), (0, 0)))
+
+    out = pl.pallas_call(
+        _pv_resynth_kernel,
+        grid=(b, t_out_pad // _PV_TM),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rate
+            pl.BlockSpec(memory_space=pl.ANY),  # mag, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # dphi, manual DMA
+            pl.BlockSpec((1, 1, f_pad), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # phase0 row
+            pl.BlockSpec((f_pad, n_fft), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),  # icos
+            pl.BlockSpec((f_pad, n_fft), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),  # isin
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _PV_TM, n_fft), lambda i, t: (i, t, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_out_pad, n_fft), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((_PV_TILE_IN, f_pad), jnp.float32),
+            pltpu.VMEM((_PV_TILE_IN, f_pad), jnp.float32),
+            pltpu.VMEM((1, f_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t_out_pad * f_pad * (2 * _PV_TILE_IN + 2 * n_fft),
+            bytes_accessed=4 * b * (
+                2 * (t_out_pad // _PV_TM) * _PV_TILE_IN * f_pad
+                + t_out_pad * n_fft),
+            transcendentals=2 * b * t_out_pad * f_pad,
+        ),
+        interpret=interpret,
+    )(rate.astype(jnp.float32), mag_p, dphi_p, phase0_p, icos_p, isin_p)
+    return out[:, :t_out]
+
+
+def pv_resynth_pallas(mag, dphi_in, phase0, rate, icos, isin, n_fft: int,
+                      t_out: int):
+    """Fused PV resynthesis; off-TPU runs interpreted (see ops/pv.py)."""
+    return _pv_resynth(mag, dphi_in, phase0, rate, icos, isin, n_fft,
+                       t_out, interpret=not _on_tpu())
+
+
 def mel_project_log_ri(
     re: jnp.ndarray, im: jnp.ndarray, fb_t: jnp.ndarray
 ) -> jnp.ndarray:

@@ -100,47 +100,71 @@ def phase_vocoder_stretch(
         phase[:, 1:] - phase[:, :-1] - expected[None, None, :]
     ) + expected[None, None, :]  # (B, t_in - 1, F)
 
-    pos = jnp.arange(t_out)[None, :] * rate[:, None]  # (B, t_out)
-    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, t_in - 2)
-    frac = jnp.clip(pos - i0, 0.0, 1.0)[..., None]
-
-    mag0 = jnp.take_along_axis(mag, i0[..., None], axis=1)
-    mag1 = jnp.take_along_axis(mag, (i0 + 1)[..., None], axis=1)
-    mags = (1.0 - frac) * mag0 + frac * mag1  # (B, t_out, F)
-    dphi = jnp.take_along_axis(dphi_in, i0[..., None], axis=1)
-
-    # librosa-style accumulation: frame k is synthesized with the phase
-    # *before* advancing by dphi(p_k) — an exclusive cumulative sum
-    # (inclusive would delay the output by one hop)
-    cum = jnp.cumsum(dphi, axis=1)
-    phis = phase[:, :1] + jnp.concatenate(
-        [jnp.zeros_like(cum[:, :1]), cum[:, :-1]], axis=1)
-    # bf16 spectra into the synthesis matmuls: halves the HBM traffic of the
-    # output-domain arrays and puts the MXU in bf16; phase accumulation
-    # stays f32 (at rate 1.0 the dphi sum telescopes exactly, so identity
-    # reconstruction is unaffected; elsewhere ~1e-3 relative magnitude
-    # error is far below the phase vocoder's own artifacts)
-    out_re = (mags * jnp.cos(phis)).astype(jnp.bfloat16)
-    out_im = (mags * jnp.sin(phis)).astype(jnp.bfloat16)
-
-    # synthesis: windowed inverse rDFT as MXU matmuls, emitted per hop-sized
-    # column block and overlap-added with static shifted adds
     icos, isin = _synthesis_basis(n_fft)
     r = n_fft // hop
     ola_frames = t_out + r - 1
     ola_len = ola_frames * hop
-    out = jnp.zeros((b, ola_frames, hop), jnp.float32)
-    for o in range(r):
-        chunk = jnp.einsum(
-            "btf,fh->bth", out_re,
-            jnp.asarray(icos[:, o * hop:(o + 1) * hop]).astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        ) + jnp.einsum(
-            "btf,fh->bth", out_im,
-            jnp.asarray(isin[:, o * hop:(o + 1) * hop]).astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-        out = out.at[:, o : o + t_out].add(chunk)
+
+    from freesound_classification_tpu.ops.pallas_kernels import (
+        _PV_TILE_IN,
+        _on_tpu,
+        pv_resynth_pallas,
+    )
+
+    if _on_tpu() and t_in >= _PV_TILE_IN:
+        # fused Pallas resynthesis: interpolation matmuls, single-pass phase
+        # carry, sincos, and the inverse-DFT contraction in one VMEM-resident
+        # kernel (the unfused XLA ops below cost ~29 ms at 64 x 10 s; rates
+        # above pallas_kernels._PV_MAX_RATE fall outside the per-tile
+        # analysis window and synthesize silence)
+        syn = pv_resynth_pallas(
+            mag, dphi_in, phase[:, 0], rate, jnp.asarray(icos),
+            jnp.asarray(isin), n_fft, t_out,
+        ).astype(jnp.float32)  # (B, t_out, n_fft)
+        chunks = syn.reshape(b, t_out, r, hop)
+        out = jnp.zeros((b, ola_frames, hop), jnp.float32)
+        for o in range(r):
+            out = out.at[:, o : o + t_out].add(chunks[:, :, o])
+    else:
+        pos = jnp.arange(t_out)[None, :] * rate[:, None]  # (B, t_out)
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, t_in - 2)
+        frac = jnp.clip(pos - i0, 0.0, 1.0)[..., None]
+
+        mag0 = jnp.take_along_axis(mag, i0[..., None], axis=1)
+        mag1 = jnp.take_along_axis(mag, (i0 + 1)[..., None], axis=1)
+        mags = (1.0 - frac) * mag0 + frac * mag1  # (B, t_out, F)
+        dphi = jnp.take_along_axis(dphi_in, i0[..., None], axis=1)
+
+        # librosa-style accumulation: frame k is synthesized with the phase
+        # *before* advancing by dphi(p_k) — an exclusive cumulative sum
+        # (inclusive would delay the output by one hop)
+        cum = jnp.cumsum(dphi, axis=1)
+        phis = phase[:, :1] + jnp.concatenate(
+            [jnp.zeros_like(cum[:, :1]), cum[:, :-1]], axis=1)
+        # bf16 spectra into the synthesis matmuls: halves the HBM traffic of
+        # the output-domain arrays and puts the MXU in bf16; phase
+        # accumulation stays f32 (at rate 1.0 the dphi sum telescopes
+        # exactly, so identity reconstruction is unaffected; elsewhere ~1e-3
+        # relative magnitude error is far below the PV's own artifacts)
+        out_re = (mags * jnp.cos(phis)).astype(jnp.bfloat16)
+        out_im = (mags * jnp.sin(phis)).astype(jnp.bfloat16)
+
+        # synthesis: windowed inverse rDFT as MXU matmuls, emitted per
+        # hop-sized column block and overlap-added with static shifted adds
+        out = jnp.zeros((b, ola_frames, hop), jnp.float32)
+        for o in range(r):
+            chunk = jnp.einsum(
+                "btf,fh->bth", out_re,
+                jnp.asarray(icos[:, o * hop:(o + 1) * hop]).astype(
+                    jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "btf,fh->bth", out_im,
+                jnp.asarray(isin[:, o * hop:(o + 1) * hop]).astype(
+                    jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            out = out.at[:, o : o + t_out].add(chunk)
     out = out.reshape(b, ola_len)
 
     # window-squared normalization — data-independent, computed at trace time
