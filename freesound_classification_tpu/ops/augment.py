@@ -50,6 +50,17 @@ def _per_sample_keys(key: jax.Array, batch: int, n: int):
     return [keys[:, i] for i in range(n)]
 
 
+def _shift_rows(wave: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
+    """Per-row roll: out[b, i] = wave[b, (i - shift[b]) mod L].
+
+    Callers mask the shifted-out region afterwards (mixup window placement,
+    segment crops). Measured note: routing this through the Pallas
+    offset-resample kernel was tried and is ~2x SLOWER than vmapped roll
+    (the kernel pays full per-row interpolation-mask cost, ~12 ms at
+    64 x 10 s, vs ~5 ms for XLA's roll lowering)."""
+    return jax.vmap(jnp.roll)(wave, shift)
+
+
 # ---------------------------------------------------------------------------
 # MixUp-OR (reference ops/audio.py:32-52)
 # ---------------------------------------------------------------------------
@@ -96,9 +107,9 @@ def mixup_or(
     span = jnp.maximum(longer_len - shorter_len, 1)
     start = (jax.random.uniform(k_start, (b,)) * span).astype(jnp.int32)
 
-    # place shorter at [start, start+shorter_len): roll is wrap-free because
-    # start <= longer_len - shorter_len <= L - shorter_len
-    shifted = jax.vmap(jnp.roll)(shorter, start)
+    # place shorter at [start, start+shorter_len): the shift is wrap-free
+    # because start <= longer_len - shorter_len <= L - shorter_len
+    shifted = _shift_rows(shorter, start)
     idx = jnp.arange(l)[None, :]
     window = (idx >= start[:, None]) & (idx < (start + shorter_len)[:, None])
 
@@ -246,7 +257,7 @@ def sample_segment(
     )
     span = jnp.maximum(lengths - new_len, 1)
     start = (jax.random.uniform(k_start, (b,)) * span).astype(jnp.int32)
-    shifted = jax.vmap(lambda w, s: jnp.roll(w, -s))(wave, start)
+    shifted = _shift_rows(wave, -start)
     idx = jnp.arange(l)[None, :]
     cropped = jnp.where(idx < new_len[:, None], shifted, 0.0)
     out_wave = jnp.where(apply[:, None], cropped, wave)

@@ -204,6 +204,7 @@ def resample_linear_pallas(wave: jnp.ndarray, factor: jnp.ndarray
     return _resample_pallas(wave, factor, interpret=not _on_tpu())
 
 
+
 # ---------------------------------------------------------------------------
 # Fused phase-vocoder resynthesis
 #
@@ -228,25 +229,50 @@ _PV_MAX_RATE = 1.3  # supported stretch position step (aug uses <= 1.19)
 
 def _pv_resynth_kernel(rate_ref, mag_hbm, dphi_hbm, phase0_ref,
                        icos_ref, isin_ref, out_ref,
-                       mag_tile, dphi_tile, carry, sems):
+                       mag_tiles, dphi_tiles, carry, sems):
     b = pl.program_id(0)
     t = pl.program_id(1)
+    nt = pl.num_programs(1)
     rate = rate_ref[b]
     t_in = mag_hbm.shape[1]
 
-    # align the tile start to the sublane tiling (Mosaic requires HBM
-    # slice offsets on the (8, 128) grid); the remainder moves into rel
-    start = jnp.clip(
-        (jnp.floor((t * _PV_TM) * rate).astype(jnp.int32) // 8) * 8,
-        0, t_in - _PV_TILE_IN)
-    start = pl.multiple_of(start, 8)
-    copy_m = pltpu.make_async_copy(
-        mag_hbm.at[b, pl.ds(start, _PV_TILE_IN), :], mag_tile, sems.at[0])
-    copy_d = pltpu.make_async_copy(
-        dphi_hbm.at[b, pl.ds(start, _PV_TILE_IN), :], dphi_tile, sems.at[1])
-    copy_m.start()
-    copy_d.start()
+    def tile_start(tt):
+        # aligned to the sublane tiling (Mosaic requires HBM slice offsets
+        # on the (8, 128) grid); the remainder moves into rel
+        s = jnp.clip(
+            (jnp.floor((tt * _PV_TM) * rate).astype(jnp.int32) // 8) * 8,
+            0, t_in - _PV_TILE_IN)
+        return pl.multiple_of(s, 8)
 
+    def make_dmas(tt, slot):
+        s = tile_start(tt)
+        return (
+            pltpu.make_async_copy(
+                mag_hbm.at[b, pl.ds(s, _PV_TILE_IN), :],
+                mag_tiles.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                dphi_hbm.at[b, pl.ds(s, _PV_TILE_IN), :],
+                dphi_tiles.at[slot], sems.at[slot, 1]),
+        )
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        m0, d0 = make_dmas(0, 0)
+        m0.start()
+        d0.start()
+        carry[:] = phase0_ref[0]
+
+    # double buffering: start the next tile's DMAs before waiting on the
+    # current ones (its slot was drained two steps ago)
+    @pl.when(t + 1 < nt)
+    def _():
+        mn, dn = make_dmas(t + 1, jax.lax.rem(t + 1, 2))
+        mn.start()
+        dn.start()
+
+    start = tile_start(t)
     # output-frame analysis positions, relative to the tile start
     j_col = jax.lax.broadcasted_iota(
         jnp.int32, (_PV_TM, 1), 0).astype(jnp.float32)
@@ -259,14 +285,13 @@ def _pv_resynth_kernel(rate_ref, mag_hbm, dphi_hbm, phase0_ref,
     w_tri = jnp.maximum(0.0, 1.0 - jnp.abs(s_row - rel))
     w_one = (s_row == jnp.floor(rel)).astype(jnp.float32)
 
-    @pl.when(t == 0)
-    def _():
-        carry[:] = phase0_ref[0]
-
+    copy_m, copy_d = make_dmas(t, slot)
     copy_m.wait()
     copy_d.wait()
-    mags = jnp.dot(w_tri, mag_tile[:], preferred_element_type=jnp.float32)
-    dphi = jnp.dot(w_one, dphi_tile[:], preferred_element_type=jnp.float32)
+    mag_tile = mag_tiles[pl.ds(slot, 1)][0]
+    dphi_tile = dphi_tiles[pl.ds(slot, 1)][0]
+    mags = jnp.dot(w_tri, mag_tile, preferred_element_type=jnp.float32)
+    dphi = jnp.dot(w_one, dphi_tile, preferred_element_type=jnp.float32)
 
     # exclusive prefix sum as a strictly-lower-triangular MXU contraction
     # (Mosaic has no cumsum lowering; a (TM, TM) ones-triangle dot is a
@@ -333,10 +358,10 @@ def _pv_resynth(mag, dphi_in, phase0, rate, icos, isin, n_fft: int,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t_out_pad, n_fft), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((_PV_TILE_IN, f_pad), jnp.float32),
-            pltpu.VMEM((_PV_TILE_IN, f_pad), jnp.float32),
+            pltpu.VMEM((2, _PV_TILE_IN, f_pad), jnp.float32),
+            pltpu.VMEM((2, _PV_TILE_IN, f_pad), jnp.float32),
             pltpu.VMEM((1, f_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t_out_pad * f_pad * (2 * _PV_TILE_IN + 2 * n_fft),

@@ -32,3 +32,4 @@ class TestPallasResample:
         out, new_len = resample_rate(wave, lengths, jnp.asarray([1.1, 0.9]))
         assert out.shape == wave.shape
         assert int(new_len[0]) == int(4096 / 1.1)
+
