@@ -73,12 +73,26 @@ def main() -> int:
     key = jax.random.PRNGKey(1)
     cfg = augment.AugmentConfig(p_mixup=1.0, p_aug=1.0, p_shuffle=1.0)
     augmenter = augment.make_augmenter(cfg)
-    aug_w, _, _ = jax.jit(
-        lambda w, ln, y, k: augmenter(w, ln, y, k, 1.0)
-    )(wave, lengths, jnp.zeros((4, 80)), key)
+    aug = jax.jit(lambda w, ln, y, k: augmenter(w, ln, y, k, 1.0))
+    aug_w, _, _ = aug(wave, lengths, jnp.zeros((4, 80)), key)
     a = np.asarray(aug_w)
     assert np.isfinite(a).all(), "non-finite augmented audio"
     print(f"SMOKE: augment chain ok  [{time.time()-t0:.0f}s]")
+
+    # 5. Perf tripwire: the augmenter at B=4 x 65536 must stay far under a
+    # loose bound (catches catastrophic kernel regressions — e.g. an
+    # accidental element-gather formulation is ~100x — while surviving the
+    # ~±10% compile-luck variance). Honest timing: block_until_ready does
+    # NOT wait over the axon tunnel; force with a scalar readback.
+    n = 10
+    t1 = time.time()
+    for _ in range(n):
+        aug_w, _, _ = aug(wave, lengths, jnp.zeros((4, 80)), key)
+    float(jnp.sum(aug_w))
+    ms = (time.time() - t1) / n * 1e3
+    assert ms < 150.0, f"augmenter {ms:.1f} ms at B=4x65536 — kernel regression?"
+    print(f"SMOKE: augmenter {ms:.1f} ms/call at B=4 (bound 150)  "
+          f"[{time.time()-t0:.0f}s]")
 
     print(f"SMOKE PASS  [{time.time()-t0:.0f}s total]")
     return 0
