@@ -102,7 +102,17 @@ def cutout(audio: np.ndarray, area: float = 0.25, rng=None) -> np.ndarray:
 def apply_effects_chain(audio: np.ndarray, sr: int = 44100, rng=None,
                         ) -> np.ndarray:
     """Host fallback of the sox-equivalent effects chain: runs the on-device
-    implementation (ops/augment.effects_chain) through jax on one clip."""
+    implementation (ops/augment.effects_chain) through jax on one clip.
+
+    The clip is zero-padded to a power-of-two buffer before tracing, so
+    arbitrary per-clip lengths share a handful of compiled programs instead
+    of triggering one XLA compile per distinct length (pathological churn
+    on variable-length datasets). The 1.25x headroom lets a slowdown's
+    longer output stay representable; the returned array is the valid
+    (possibly length-changed, as with sox speed) region.
+    """
+    import math
+
     import jax
     import jax.numpy as jnp
 
@@ -110,7 +120,11 @@ def apply_effects_chain(audio: np.ndarray, sr: int = 44100, rng=None,
 
     rng = rng or np.random
     seed = int(rng.randint(0, 2**31 - 1))
-    wave = jnp.asarray(audio[None, :])
-    lengths = jnp.asarray([audio.size])
-    out, _ = effects_chain(wave, lengths, jax.random.PRNGKey(seed), 1.0, sr=sr)
-    return np.asarray(out[0])
+    n = int(audio.size)
+    cap = 1 << max(math.ceil(math.log2(max(n * 1.25, 4096))), 12)
+    wave = np.zeros(cap, np.float32)
+    wave[:n] = audio
+    out, new_len = effects_chain(
+        jnp.asarray(wave[None, :]), jnp.asarray([n]),
+        jax.random.PRNGKey(seed), 1.0, sr=sr)
+    return np.asarray(out[0, : int(new_len[0])])
