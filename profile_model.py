@@ -5,6 +5,11 @@ Times (a) featurize variants (Pallas vs XLA tail, block-DFT precision),
 to locate the gap between the measured step time and the MXU speed of
 light. Run on the real chip.
 
+Timing methodology: over the axon tunnel ``jax.block_until_ready`` returns
+without waiting — each measurement dispatches N iterations and forces
+completion with ONE scalar readback, subtracting the measured round trip
+(see CLAUDE.md).
+
 Usage: PYTHONPATH=/root/repo python profile_model.py
 """
 
@@ -23,25 +28,42 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 SR = 44100
 N_CLASSES = 80
 
+_RTT = [0.03]
 
-def timed(fn, *args, n=10, label=""):
+
+def _force(out) -> float:
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf) if leaf.ndim else leaf)
+
+
+def measure_rtt() -> None:
+    probe = jnp.zeros((8,), jnp.int32)
+    vals = []
+    for _ in range(5):
+        t0 = time.time()
+        float(jnp.sum(probe))
+        vals.append(time.time() - t0)
+    _RTT[0] = float(np.median(vals))
+    print(f"scalar-readback RTT: {_RTT[0]*1e3:.1f} ms", flush=True)
+
+
+def timed(fn, *args, n=20, label=""):
     t0 = time.time()
     out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     compile_s = time.time() - t0
-    times = []
+    t0 = time.time()
     for _ in range(n):
-        t0 = time.time()
         out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.time() - t0)
-    ms = float(np.median(times) * 1e3)
-    print(f"{label:44s} {ms:9.2f} ms   (compile {compile_s:5.1f}s)",
+    _force(out)
+    ms = (time.time() - t0 - _RTT[0]) / n * 1e3
+    print(f"{label:44s} {ms:9.2f} ms   (compile+1 {compile_s:5.1f}s)",
           flush=True)
     return ms
 
 
 def main():
+    measure_rtt()
     from freesound_classification_tpu.models.classifiers import (
         TwoDimensionalCNN,
     )
