@@ -79,7 +79,40 @@ def main() -> int:
     assert np.isfinite(a).all(), "non-finite augmented audio"
     print(f"SMOKE: augment chain ok  [{time.time()-t0:.0f}s]")
 
-    # 5. Perf tripwire: the augmenter at B=4 x 65536 must stay far under a
+    # 5. Fused PV resynthesis numerics on HARDWARE vs the XLA middle
+    # (interpret-mode CPU tests cannot catch Mosaic-lowering numeric bugs)
+    import functools
+
+    from freesound_classification_tpu.ops import pallas_kernels as pk
+    from freesound_classification_tpu.ops import pv
+
+    t = np.arange(65536) / 44100.0
+    tone = jnp.asarray(np.stack([
+        np.sin(2 * np.pi * 440.0 * t),
+        np.sin(2 * np.pi * 220.0 * t) + 0.3 * np.sin(2 * np.pi * 900.0 * t),
+    ]).astype(np.float32))
+    tl = jnp.full((2,), 65536, jnp.int32)
+    rates = jnp.asarray([0.9, 1.12], jnp.float32)
+    stretch = functools.partial(pv.phase_vocoder_stretch, n_fft=1024,
+                                hop=256)
+    out_k, len_k = jax.jit(stretch)(tone, tl, rates)  # kernel path (on TPU)
+    orig_on_tpu = pk._on_tpu
+    pk._on_tpu = lambda: False  # force the XLA middle, still on the chip
+    try:
+        out_x, len_x = jax.jit(lambda w, ln, r: stretch(w, ln, r))(
+            tone, tl, rates)
+    finally:
+        pk._on_tpu = orig_on_tpu
+    assert (np.asarray(len_k) == np.asarray(len_x)).all()
+    for i in range(2):
+        n = int(len_k[i])
+        a = np.asarray(out_k[i, : n - 2048])
+        c = np.asarray(out_x[i, : n - 2048])
+        corr = float(np.corrcoef(a, c)[0, 1])
+        assert corr > 0.98, f"PV kernel-vs-XLA corr {corr} at row {i}"
+    print(f"SMOKE: pv fused-kernel numerics ok  [{time.time()-t0:.0f}s]")
+
+    # 6. Perf tripwire: the augmenter at B=4 x 65536 must stay far under a
     # loose bound (catches catastrophic kernel regressions — e.g. an
     # accidental element-gather formulation is ~100x — while surviving the
     # ~±10% compile-luck variance). Honest timing: block_until_ready does
