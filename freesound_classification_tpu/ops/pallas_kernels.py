@@ -85,6 +85,25 @@ def _on_tpu() -> bool:
         return False
 
 
+def static_bound_exceeded(x, bound: float):
+    """None if ``x`` is a tracer (unknown at trace time), else whether
+    max(x) exceeds ``bound``.
+
+    The windowed kernels below are only valid up to a static playback
+    rate/stretch factor; beyond it they would synthesize silence or garbage
+    with no error. Concrete out-of-domain inputs must therefore either raise
+    (the raw kernel wrappers) or fall back to the XLA formulation (the
+    public ops in ops/augment.py, ops/pv.py). Traced values cannot be
+    checked — in-jit callers are responsible for staying in-domain (the
+    augmentation chain's ranges are proven: pitch*speed <= 1.31, PV rate
+    <= 1.19)."""
+    if isinstance(x, jax.core.Tracer):
+        return None
+    import numpy as np
+
+    return bool(np.max(np.asarray(x)) > bound)
+
+
 # ---------------------------------------------------------------------------
 # Linear-interpolation resampling (playback-rate change)
 #
@@ -200,7 +219,13 @@ def resample_linear_pallas(wave: jnp.ndarray, factor: jnp.ndarray
 
     Valid for factor in (0, _RS_MAX_FACTOR]. Off-TPU runs interpreted.
     Masking to new valid lengths is the caller's job (ops.augment
-    .resample_rate wraps this)."""
+    .resample_rate wraps this, and falls back to the XLA gather path for
+    concrete out-of-domain factors instead of raising)."""
+    if static_bound_exceeded(factor, _RS_MAX_FACTOR):
+        raise ValueError(
+            f"resample_linear_pallas supports factor <= {_RS_MAX_FACTOR}; "
+            "use ops.augment.resample_rate, which falls back to the XLA "
+            "path for out-of-domain factors")
     return _resample_pallas(wave, factor, interpret=not _on_tpu())
 
 
@@ -227,14 +252,14 @@ _PV_TILE_IN = 184
 _PV_MAX_RATE = 1.3  # supported stretch position step (aug uses <= 1.19)
 
 
-def _pv_resynth_kernel(rate_ref, mag_hbm, dphi_hbm, phase0_ref,
+def _pv_resynth_kernel(t_in_real, rate_ref, mag_hbm, dphi_hbm, phase0_ref,
                        icos_ref, isin_ref, out_ref,
                        mag_tiles, dphi_tiles, carry, sems):
     b = pl.program_id(0)
     t = pl.program_id(1)
     nt = pl.num_programs(1)
     rate = rate_ref[b]
-    t_in = mag_hbm.shape[1]
+    t_in = mag_hbm.shape[1]  # zero-PADDED row count (DMA bounds only)
 
     def tile_start(tt):
         # aligned to the sublane tiling (Mosaic requires HBM slice offsets
@@ -273,25 +298,38 @@ def _pv_resynth_kernel(rate_ref, mag_hbm, dphi_hbm, phase0_ref,
         dn.start()
 
     start = tile_start(t)
-    # output-frame analysis positions, relative to the tile start
+    # output-frame analysis positions, relative to the tile start; clamp to
+    # the REAL frame count so tail frames repeat the last analysis frame
+    # exactly like the XLA path (round-1 ADVICE: clamping to the padded
+    # count interpolated into zero rows and faded the tail to silence).
+    # mags clamp to t_in_real-1 (XLA: i0<=t_in-2 with frac->1), the dphi
+    # pick to t_in_real-2 (XLA repeats the last real dphi row).
     j_col = jax.lax.broadcasted_iota(
         jnp.int32, (_PV_TM, 1), 0).astype(jnp.float32)
     pos = (t * _PV_TM + j_col) * rate  # (TM, 1) absolute
-    pos = jnp.clip(pos, 0.0, (t_in - 2) * 1.0)
-    rel = pos - start.astype(jnp.float32)  # in [0, TILE_IN)
+    pos_m = jnp.clip(pos, 0.0, (t_in_real - 1) * 1.0)
+    pos_d = jnp.clip(pos, 0.0, (t_in_real - 2) * 1.0)
+    startf = start.astype(jnp.float32)
     s_row = jax.lax.broadcasted_iota(
         jnp.int32, (_PV_TM, _PV_TILE_IN), 1).astype(jnp.float32)
     # triangle weights = linear interp taps; exact one-hot = floor pick
-    w_tri = jnp.maximum(0.0, 1.0 - jnp.abs(s_row - rel))
-    w_one = (s_row == jnp.floor(rel)).astype(jnp.float32)
+    w_tri = jnp.maximum(0.0, 1.0 - jnp.abs(s_row - (pos_m - startf)))
+    w_one = (s_row == jnp.floor(pos_d - startf)).astype(jnp.float32)
 
     copy_m, copy_d = make_dmas(t, slot)
     copy_m.wait()
     copy_d.wait()
     mag_tile = mag_tiles[pl.ds(slot, 1)][0]
     dphi_tile = dphi_tiles[pl.ds(slot, 1)][0]
+    # mags tolerate bf16 MXU passes (default); the PHASE path cannot:
+    # Mosaic lowers f32 dots to a SINGLE bf16 pass by default, and bf16
+    # truncation of dphi values up to ~800 rad randomizes the synthesis
+    # phase entirely (hardware-smoke finding: corr ~ -0.1 vs XLA while CPU
+    # interpret mode was exact). HIGHEST = bf16x6 passes = f32-exact picks.
+    hi = jax.lax.Precision.HIGHEST
     mags = jnp.dot(w_tri, mag_tile, preferred_element_type=jnp.float32)
-    dphi = jnp.dot(w_one, dphi_tile, preferred_element_type=jnp.float32)
+    dphi = jnp.dot(w_one, dphi_tile, preferred_element_type=jnp.float32,
+                   precision=hi)
 
     # exclusive prefix sum as a strictly-lower-triangular MXU contraction
     # (Mosaic has no cumsum lowering; a (TM, TM) ones-triangle dot is a
@@ -301,9 +339,18 @@ def _pv_resynth_kernel(rate_ref, mag_hbm, dphi_hbm, phase0_ref,
         jax.lax.broadcasted_iota(jnp.int32, (_PV_TM, _PV_TM), 0)
         > jax.lax.broadcasted_iota(jnp.int32, (_PV_TM, _PV_TM), 1)
     ).astype(jnp.float32)
-    excl = jnp.dot(tri, dphi, preferred_element_type=jnp.float32)
+    excl = jnp.dot(tri, dphi, preferred_element_type=jnp.float32,
+                   precision=hi)
+    # principal-value wrap before sincos: Mosaic's sin/cos lowering has no
+    # wide-range argument reduction (hardware-smoke finding — unwrapped
+    # phases reach ~1e5 rad and synthesized pure garbage, corr ~ -0.1,
+    # while CPU interpret mode was exact); the carry is wrapped too so it
+    # stays O(pi) for the whole grid instead of drifting in f32
+    two_pi = 6.283185307179586
     phis = carry[:] + excl
-    carry[:] = carry[:] + jnp.sum(dphi, axis=0, keepdims=True)
+    phis = phis - two_pi * jnp.floor(phis / two_pi + 0.5)
+    new_carry = carry[:] + jnp.sum(dphi, axis=0, keepdims=True)
+    carry[:] = new_carry - two_pi * jnp.floor(new_carry / two_pi + 0.5)
 
     out_re = (mags * jnp.cos(phis)).astype(jnp.bfloat16)
     out_im = (mags * jnp.sin(phis)).astype(jnp.bfloat16)
@@ -340,7 +387,7 @@ def _pv_resynth(mag, dphi_in, phase0, rate, icos, isin, n_fft: int,
         isin.astype(jnp.bfloat16), ((0, f_pad - f), (0, 0)))
 
     out = pl.pallas_call(
-        _pv_resynth_kernel,
+        functools.partial(_pv_resynth_kernel, t_in),
         grid=(b, t_out_pad // _PV_TM),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # rate

@@ -56,7 +56,6 @@ def _synthesis_basis(n_fft: int):
     return icos.astype(_np.float32), isin.astype(_np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop"))
 def phase_vocoder_stretch(
     wave: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -65,6 +64,40 @@ def phase_vocoder_stretch(
     hop: int = 512,
 ):
     """Time-stretch each clip by per-sample ``rate`` (rate>1 -> shorter).
+
+    Routing wrapper: picks the fused Pallas resynthesis kernel on TPU at
+    clip scale, the XLA formulation otherwise — and for concrete rates
+    beyond the kernel's supported domain (pallas_kernels._PV_MAX_RATE) falls
+    back to XLA instead of silently synthesizing garbage. Traced rates
+    cannot be checked; in-jit callers must stay in-domain (the augmentation
+    chain's rates are <= 1.19)."""
+    from freesound_classification_tpu.ops.pallas_kernels import (
+        _PV_MAX_RATE,
+        _PV_TILE_IN,
+        _on_tpu,
+        static_bound_exceeded,
+    )
+
+    l = wave.shape[1]
+    t_in = num_stft_frames(l, n_fft, hop)
+    use_kernel = (
+        _on_tpu() and t_in >= _PV_TILE_IN
+        and static_bound_exceeded(rate, _PV_MAX_RATE) is not True
+    )
+    return _pv_stretch_impl(wave, lengths, rate, n_fft, hop, use_kernel)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_fft", "hop", "use_kernel"))
+def _pv_stretch_impl(
+    wave: jnp.ndarray,
+    lengths: jnp.ndarray,
+    rate: jnp.ndarray,
+    n_fft: int = 2048,
+    hop: int = 512,
+    use_kernel: bool = False,
+):
+    """Phase-vocoder stretch body (see phase_vocoder_stretch for routing).
 
     wave: (B, L) padded batch; lengths: valid samples; rate: (B,) in
     ~[0.8, 1.25]. Returns (stretched (B, L), new_lengths) — output stays in
@@ -106,12 +139,10 @@ def phase_vocoder_stretch(
     ola_len = ola_frames * hop
 
     from freesound_classification_tpu.ops.pallas_kernels import (
-        _PV_TILE_IN,
-        _on_tpu,
         pv_resynth_pallas,
     )
 
-    if _on_tpu() and t_in >= _PV_TILE_IN:
+    if use_kernel:
         # fused Pallas resynthesis: interpolation matmuls, single-pass phase
         # carry, sincos, and the inverse-DFT contraction in one VMEM-resident
         # kernel (the unfused XLA ops below cost ~29 ms at 64 x 10 s; rates

@@ -19,6 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache (same as bench.py): re-runs skip the ~6 min of
+# XLA compiles that otherwise dominate the smoke's wall time
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def main() -> int:
     t0 = time.time()
@@ -96,18 +102,30 @@ def main() -> int:
     stretch = functools.partial(pv.phase_vocoder_stretch, n_fft=1024,
                                 hop=256)
     out_k, len_k = jax.jit(stretch)(tone, tl, rates)  # kernel path (on TPU)
+    out_k, len_k = np.asarray(out_k), np.asarray(len_k)
     orig_on_tpu = pk._on_tpu
     pk._on_tpu = lambda: False  # force the XLA middle, still on the chip
+    # phase_vocoder_stretch is itself @jax.jit-cached: without clearing, the
+    # kernel-path jaxpr traced above is reused verbatim and this gate would
+    # compare a program against itself (round-1 ADVICE finding).
+    jax.clear_caches()
     try:
         out_x, len_x = jax.jit(lambda w, ln, r: stretch(w, ln, r))(
             tone, tl, rates)
+        out_x, len_x = np.asarray(out_x), np.asarray(len_x)
     finally:
         pk._on_tpu = orig_on_tpu
-    assert (np.asarray(len_k) == np.asarray(len_x)).all()
+        jax.clear_caches()  # don't leak XLA-middle traces to later sections
+    # prove the retrace actually happened: the kernel and XLA middles are
+    # different numerics (bf16 interp vs fused carry) and never bit-match
+    assert float(np.max(np.abs(out_k - out_x))) > 0.0, (
+        "PV gate is vacuous: kernel and XLA outputs are bit-identical, the "
+        "XLA middle never retraced")
+    assert (len_k == len_x).all()
     for i in range(2):
         n = int(len_k[i])
-        a = np.asarray(out_k[i, : n - 2048])
-        c = np.asarray(out_x[i, : n - 2048])
+        a = out_k[i, : n - 2048]
+        c = out_x[i, : n - 2048]
         corr = float(np.corrcoef(a, c)[0, 1])
         assert corr > 0.98, f"PV kernel-vs-XLA corr {corr} at row {i}"
     print(f"SMOKE: pv fused-kernel numerics ok  [{time.time()-t0:.0f}s]")
@@ -117,6 +135,10 @@ def main() -> int:
     # accidental element-gather formulation is ~100x — while surviving the
     # ~±10% compile-luck variance). Honest timing: block_until_ready does
     # NOT wait over the axon tunnel; force with a scalar readback.
+    # Re-warm first: section 5's clear_caches evicted the compiled chain,
+    # and a recompile inside the timed loop reads as a 10x regression.
+    aug_w, _, _ = aug(wave, lengths, jnp.zeros((4, 80)), key)
+    float(jnp.sum(aug_w))
     n = 10
     t1 = time.time()
     for _ in range(n):
