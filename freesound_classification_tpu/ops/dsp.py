@@ -421,6 +421,60 @@ def feature_frames(length: int, descriptor: str) -> int:
 
 
 # ---------------------------------------------------------------------------
+# First-order IIR as chunked triangular matmuls
+# ---------------------------------------------------------------------------
+
+
+def iir_first_order(
+    u: jnp.ndarray, a: float, chunk: int = 512,
+) -> jnp.ndarray:
+    """y[n] = u[n] + a*y[n-1] (y[-1] = 0) along the last axis, (B, L).
+
+    TPU formulation: no scan and no cumsum (neither lowers well — Mosaic
+    has no cumsum at all, and lax.scan serializes). The solution
+    y[n] = sum_k a^(n-k) u[k] is a lower-triangular Toeplitz matmul; chunked
+    into C-sample blocks it becomes one batched (B*NC, C) x (C, C) MXU
+    contraction for the within-chunk part plus an (NC, NC) contraction
+    propagating chunk-end carries (e[i] = local_end[i] + a^C * e[i-1] is
+    itself a first-order recurrence with the same closed form). Both dots
+    run at Precision.HIGHEST: the MXU truncates f32 operands to ONE bf16
+    pass by default, which is far too coarse for a recurrence (measured on
+    hardware: ~5e-2 abs error vs ~1e-6 at HIGHEST).
+
+    Conditioning: valid for |a| <= 1 (a^delta never overflows). Used by the
+    sox-calibrated overdrive's DC-blocking filter (ops/augment.overdrive).
+    """
+    b, l = u.shape
+    nc = -(-l // chunk)
+    lp = nc * chunk
+    u_p = jnp.pad(u, ((0, 0), (0, lp - l)))
+    uc = u_p.reshape(b, nc, chunk)
+
+    n = np.arange(chunk)
+    delta = n[:, None] - n[None, :]
+    tri = np.where(delta >= 0, float(a) ** np.maximum(delta, 0), 0.0)
+    tri = jnp.asarray(tri.astype(np.float32))  # (C, C): a^(n-k), n >= k
+
+    hi = jax.lax.Precision.HIGHEST
+    y_local = jnp.einsum("bik,nk->bin", uc, tri, precision=hi)
+
+    # chunk-end carries: e[i] = sum_{j<=i} local_end[j] * (a^C)^(i-j)
+    i = np.arange(nc)
+    di = i[:, None] - i[None, :]
+    ac = float(a) ** chunk
+    tri2 = np.where(di >= 0, ac ** np.maximum(di, 0), 0.0)
+    tri2 = jnp.asarray(tri2.astype(np.float32))  # (NC, NC)
+    ends = y_local[:, :, -1]  # (B, NC)
+    e = jnp.einsum("bj,ij->bi", ends, tri2, precision=hi)
+    carry_in = jnp.concatenate(
+        [jnp.zeros_like(e[:, :1]), e[:, :-1]], axis=1)  # (B, NC)
+
+    decay = jnp.asarray((float(a) ** (n + 1)).astype(np.float32))
+    y = y_local + carry_in[:, :, None] * decay[None, None, :]
+    return y.reshape(b, lp)[:, :l]
+
+
+# ---------------------------------------------------------------------------
 # Host-side scipy-convention STFT
 # reference: ops/audio.py:10-19 (compute_stft via scipy.signal.stft) — used by
 # the finetune CLI's CPU featurization path (finetune_hierarchical_cnn.py:237)
