@@ -7,43 +7,85 @@ resume is exact. Directory-per-checkpoint layout mirrors the reference's
 ``checkpoints/fold_{k}/{best_model,model_on_epoch_N,final_model}`` naming
 (networks/classifiers.py:846-866).
 
-Saves are ASYNC by default: the device->host transfer is synchronous (the
-state is then immutable for the writer), but serialization + fsync happen on
-a background thread so the train loop overlaps the next epoch with the
-write. ``wait_for_saves()`` (called before any restore, and at interpreter
-exit) joins outstanding writes. ``prune_epoch_checkpoints`` implements the
-retention policy for periodic ``model_on_epoch_N`` saves.
+Saves are ASYNC through one strict-FIFO background writer thread: the
+device->host transfer is synchronous (the state is then immutable for the
+writer), but serialization + fsync happen off-thread so the train loop
+overlaps the next epoch with the write. Because the queue is strictly
+ordered, anything submitted via ``write_after_saves`` (the engine's
+progress.json metadata, retention pruning) runs only after every checkpoint
+enqueued before it is durable — progress metadata can never be newer than
+its paired checkpoint (round-1 crash-consistency finding), and pruning never
+blocks the train loop or races an in-flight write. ``wait_for_saves()``
+(called before any restore, and at interpreter exit) drains the queue and
+re-raises the first writer error.
 """
 
 from __future__ import annotations
 
 import atexit
 import os
+import queue
 import re
 import shutil
+import threading
+from typing import Callable
 
 import jax
 import orbax.checkpoint as ocp
 
-_ASYNC: ocp.AsyncCheckpointer | None = None
+_QUEUE: "queue.Queue | None" = None
+_WORKER: "threading.Thread | None" = None
+_ERRORS: list = []
+_SYNC_CKPTR: "ocp.Checkpointer | None" = None
 
 
 def _checkpointer() -> ocp.Checkpointer:
-    return ocp.StandardCheckpointer()
+    global _SYNC_CKPTR
+    if _SYNC_CKPTR is None:
+        _SYNC_CKPTR = ocp.StandardCheckpointer()
+    return _SYNC_CKPTR
 
 
-def _async_checkpointer() -> ocp.AsyncCheckpointer:
-    global _ASYNC
-    if _ASYNC is None:
-        _ASYNC = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+def _worker_loop(q: "queue.Queue") -> None:
+    # the worker owns its own checkpointer; orbax objects are not shared
+    # across threads
+    ckptr = ocp.StandardCheckpointer()
+    while True:
+        fn = q.get()
+        try:
+            if fn is not None:
+                fn(ckptr)
+        except BaseException as e:  # surfaced by wait_for_saves()
+            _ERRORS.append(e)
+        finally:
+            q.task_done()
+
+
+def _submit(fn: Callable) -> None:
+    global _QUEUE, _WORKER
+    if _QUEUE is None:
+        _QUEUE = queue.Queue()
+        _WORKER = threading.Thread(
+            target=_worker_loop, args=(_QUEUE,), daemon=True,
+            name="ckpt-writer")
+        _WORKER.start()
         atexit.register(wait_for_saves)
-    return _ASYNC
+    _QUEUE.put(fn)
 
 
 def wait_for_saves() -> None:
-    """Join all outstanding async checkpoint writes."""
-    if _ASYNC is not None:
-        _ASYNC.wait_until_finished()
+    """Drain the background writer queue; re-raise the first writer error."""
+    if _QUEUE is not None:
+        _QUEUE.join()
+    if _ERRORS:
+        raise _ERRORS.pop(0)
+
+
+def write_after_saves(fn: Callable[[], None]) -> None:
+    """Run ``fn`` on the writer thread after every save enqueued so far is
+    durable (strict FIFO). Used for crash-consistent metadata (the engine's
+    progress.json) and retention pruning."""
+    _submit(lambda _ckptr: fn())
 
 
 def save_state(path: str, state, async_save: bool = True) -> None:
@@ -52,13 +94,15 @@ def save_state(path: str, state, async_save: bool = True) -> None:
     # fully materialize on host to keep checkpoints mesh-independent (and
     # to decouple the background writer from live device buffers)
     host_state = jax.device_get(state)
-    if async_save:
-        ckptr = _async_checkpointer()
-        ckptr.save(path, args=ocp.args.StandardSave(host_state), force=True)
-    else:
-        ckptr = _checkpointer()
+
+    def write(ckptr: ocp.Checkpointer) -> None:
         ckptr.save(path, host_state, force=True)
         ckptr.wait_until_finished()
+
+    if async_save:
+        _submit(write)
+    else:
+        write(_checkpointer())
 
 
 def prune_epoch_checkpoints(fold_dir: str, keep: int) -> None:
@@ -66,10 +110,11 @@ def prune_epoch_checkpoints(fold_dir: str, keep: int) -> None:
 
     best/last/final checkpoints are never touched. keep <= 0 disables
     pruning (the reference keeps everything, classifiers.py:846-855).
+    Runs synchronously; the engine routes it through ``write_after_saves``
+    so it happens on the writer thread after the newest save committed.
     """
     if keep <= 0:
         return
-    wait_for_saves()  # never delete around an in-flight write
     pat = re.compile(r"^model_on_epoch_(\d+)$")
     found = []
     try:

@@ -119,6 +119,8 @@ class MultiFoldEngine:
         self.mesh = mesh if mesh is not None else make_fold_mesh(n_folds)
         self.states = None  # stacked TrainState, leading fold axis
         self.global_step = 0
+        # per-shape pool of the previous clean stacked batch (MixUp)
+        self._mixup_pool: dict = {}
 
     # ------------------------------------------------------------------
 
@@ -168,7 +170,7 @@ class MultiFoldEngine:
         augment = tpl.augment
         frontend = tpl.frontend
 
-        def one_fold_step(state, batch, aug_scale, n_real):
+        def one_fold_step(state, batch, aug_scale, n_real, partner):
             rng, step_rng, dropout_rng = jax.random.split(state.rng, 3)
             wave, lengths = batch["signal"], batch["lengths"]
             labels = batch.get("labels")
@@ -177,7 +179,8 @@ class MultiFoldEngine:
             )
             if augment is not None:
                 wave, lengths, labels = augment(
-                    wave, lengths, labels, step_rng, aug_scale)
+                    wave, lengths, labels, step_rng, aug_scale,
+                    partner=partner)
             inputs, frame_lengths = frontend(wave, lengths)
 
             def loss_of(params):
@@ -198,7 +201,7 @@ class MultiFoldEngine:
             )
             return state, loss, metric
 
-        vstep = jax.vmap(one_fold_step, in_axes=(0, 0, None, 0))
+        vstep = jax.vmap(one_fold_step, in_axes=(0, 0, None, 0, 0))
         self._vmapped_step = jax.jit(vstep, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
@@ -221,9 +224,19 @@ class MultiFoldEngine:
                 k: jax.device_put(v, sharding) for k, v in stacked.items()
             }
             self.global_step += 1
+            # per-fold MixUp partner pool = the previous same-shape clean
+            # stacked batch (same dataset-wide widening as Engine; each
+            # fold's partners stay within its own fold's train split)
+            clean = (device_batch["signal"], device_batch["lengths"],
+                     device_batch.get("labels"))
+            pool_key = tuple(device_batch["signal"].shape)
+            partner = self._mixup_pool.get(pool_key, clean) \
+                if self.template.augment is not None else clean
             self.states, loss, metric = self._vmapped_step(
                 self.states, device_batch, jnp.float32(aug_scale),
-                jnp.asarray(n_real))
+                jnp.asarray(n_real), partner)
+            if self.template.augment is not None:
+                self._mixup_pool[pool_key] = clean
             losses.append(loss)
             metrics.append(metric)
             if writers and step_idx % log_interval == 0:

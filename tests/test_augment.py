@@ -110,6 +110,83 @@ class TestMixup:
             assert dists.min() < 1e-4, "mixup partner was augmented"
 
 
+class TestMixupReferenceSpec:
+    """Executable numpy spec of the reference mix_audio_and_labels
+    (/root/reference/ops/audio.py:30-51) checked against the device op.
+
+    Reference semantics: equal sizes -> plain (first+second)/2 early
+    return (NO ``a`` scaling, audio.py:38-40); otherwise the longer clip is
+    scaled by a ~ U(0.4, 0.6) and its [start, start+len(shorter)) window is
+    REPLACED by shorter*(1-a) (the ``=+`` typo at audio.py:50); labels are
+    clipped-sum OR.
+    """
+
+    def test_equal_lengths_plain_average_no_a_scaling(self):
+        # constant rows make the check exact and a-independent: any
+        # a-scaled variant would differ from 0.5*(w1+w2)
+        l = 64
+        w = jnp.stack([jnp.full((l,), 0.3), jnp.full((l,), 0.7)])
+        lens = jnp.asarray([l, l], jnp.int32)
+        y = jnp.asarray(np.eye(2, 4, dtype="f4"))
+        # identical pool rows -> the iid partner draw is irrelevant
+        pool = (jnp.full((2, l), 0.7), lens, jnp.asarray(
+            np.tile(np.eye(1, 4, k=1, dtype="f4"), (2, 1))))
+        out, olens, oy = augment.mixup_or(
+            w, lens, y, KEY, 1.0, partner=pool)
+        np.testing.assert_allclose(
+            np.asarray(out[0]), np.full(l, 0.5), atol=1e-6)
+        assert np.asarray(oy)[0, 1] == 1.0  # OR'd partner label
+
+    def test_unequal_lengths_replace_window_semantics(self):
+        """Recover (a, start) from constant signals and verify the output
+        IS the reference formula: a*longer outside the window,
+        (1-a)*shorter inside, window length = shorter length."""
+        l = 256
+        long_len, short_len = 256, 100
+        w = jnp.stack([jnp.ones((l,)),
+                       jnp.pad(jnp.ones((short_len,)), (0, l - short_len))])
+        lens = jnp.asarray([long_len, long_len], jnp.int32)
+        y = jnp.asarray(np.eye(2, 4, dtype="f4"))
+        pw = jnp.tile(
+            jnp.pad(jnp.ones((short_len,)), (0, l - short_len))[None], (2, 1))
+        pool = (pw, jnp.asarray([short_len, short_len], jnp.int32),
+                jnp.asarray(np.tile(
+                    np.eye(1, 4, k=2, dtype="f4"), (2, 1))))
+        out, olens, oy = augment.mixup_or(
+            w, lens, y, KEY, 1.0, partner=pool)
+        row = np.asarray(out[0])
+        assert int(olens[0]) == long_len
+        # the window never reaches the last sample (start <= span-1, so
+        # end <= long_len-1): the final sample always carries the outside
+        # value a; the window carries 1-a
+        a_val = float(row[long_len - 1])
+        assert 0.4 - 1e-5 <= a_val <= 0.6 + 1e-5
+        inside = np.flatnonzero(~np.isclose(row, a_val, atol=1e-5))
+        assert inside.size == short_len, "window length != shorter length"
+        start = int(inside[0])
+        assert (inside == np.arange(start, start + short_len)).all(), \
+            "window not contiguous"
+        np.testing.assert_allclose(
+            row[inside], 1.0 - a_val, atol=1e-5)  # REPLACED, not added
+        # reproduce with the literal numpy spec at the recovered (a, start)
+        ref = self._mix_np(
+            np.ones(long_len, "f4"), np.ones(short_len, "f4"),
+            a_val, start)
+        np.testing.assert_allclose(row[:long_len], ref, atol=1e-5)
+        assert np.asarray(oy)[0, 2] == 1.0
+
+    @staticmethod
+    def _mix_np(first, second, a, start):
+        """Literal port of reference mix_audio_and_labels' audio path
+        (sizes differ; audio.py:42-51) at fixed (a, start)."""
+        shorter, longer = first, second
+        if first.size > second.size:
+            shorter, longer = longer, shorter
+        longer = longer * a
+        longer[start : start + shorter.size] = +(shorter * (1 - a))
+        return longer
+
+
 class TestShuffle:
     def test_preserves_multiset_of_valid_samples(self):
         w, l, _ = _batch(b=2, l=44100 * 2, seed=4)  # 2s -> 4 chunks
