@@ -496,14 +496,29 @@ def predict_ordered(engine: Engine, loader, tta_fn=None,
     return out
 
 
-def make_tta_fn(noise_snr_db: float, shift_max_s: float):
-    """Build the on-device TTA perturbation from CLI knobs (None if off)."""
-    if noise_snr_db <= 0.0 and shift_max_s <= 0.0:
+def make_tta_fn(noise_snr_db: float, shift_max_s: float,
+                shuffle_p: float = 0.0):
+    """Build the on-device TTA perturbation from CLI knobs (None if off).
+
+    ``shuffle_p`` enables chunk-shuffle TTA — the reference's *intended*
+    evaluate-time TTA was ShuffleAudio at p=1 (evaluate_2d_cnn.py:119,
+    latently broken there by a TypeError); here it reuses the on-device
+    ops.augment.shuffle_chunks."""
+    if noise_snr_db <= 0.0 and shift_max_s <= 0.0 and shuffle_p <= 0.0:
         return None
-    from freesound_classification_tpu.ops.augment import tta_perturb
+    import jax
+
+    from freesound_classification_tpu.ops.augment import (
+        shuffle_chunks,
+        tta_perturb,
+    )
 
     def fn(wave, lengths, key):
-        return tta_perturb(wave, lengths, key, noise_snr_db=noise_snr_db,
+        k_shuffle, k_perturb = jax.random.split(key)
+        if shuffle_p > 0.0:
+            wave = shuffle_chunks(wave, lengths, k_shuffle, shuffle_p, sr=SR)
+        return tta_perturb(wave, lengths, k_perturb,
+                           noise_snr_db=noise_snr_db,
                            shift_max_s=shift_max_s, sr=SR)
 
     return fn

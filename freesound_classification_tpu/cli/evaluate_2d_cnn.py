@@ -56,6 +56,11 @@ def main(argv=None):
     parser.add_argument("--tta_shift_max_s", type=float, default=0.0,
                         help="with --n_tta > 1, random right time-shift up "
                              "to this many seconds on passes > 0 (0 = off)")
+    parser.add_argument("--tta_shuffle_p", type=float, default=0.0,
+                        help="with --n_tta > 1, shuffle 0.5 s chunks with "
+                             "this probability on passes > 0 (the "
+                             "reference's intended-but-broken ShuffleAudio "
+                             "TTA, evaluate_2d_cnn.py:119; 0 = off)")
     parser.add_argument("--per_class", action="store_true", default=False,
                         help="print the per-class lwlrap decomposition")
     parser.add_argument("--device", type=str, default="tpu",
@@ -100,7 +105,8 @@ def main(argv=None):
         import jax
 
         tta_fn = common.make_tta_fn(
-            args.tta_noise_snr_db, args.tta_shift_max_s)
+            args.tta_noise_snr_db, args.tta_shift_max_s,
+            shuffle_p=args.tta_shuffle_p)
         preds = np.mean(
             [common.predict_ordered(
                 engine, loader,

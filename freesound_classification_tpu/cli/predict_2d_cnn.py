@@ -46,6 +46,11 @@ def add_predict_arguments(parser):
                         help="with --n_tta > 1, random right time-shift up "
                              "to this many seconds on passes > 0 "
                              "(on-device TTA; 0 = off)")
+    parser.add_argument("--tta_shuffle_p", type=float, default=0.0,
+                        help="with --n_tta > 1, shuffle 0.5 s chunks with "
+                             "this probability on passes > 0 (the "
+                             "reference's intended ShuffleAudio TTA; "
+                             "0 = off)")
     parser.add_argument("--device", type=str, default="tpu",
                         choices=("tpu", "cpu"),
                         help="backend to run inference on (reference "
@@ -93,13 +98,15 @@ def main(argv=None):
     args = parser.parse_args(argv)
     tta_stochastic = (args.tta_max_audio_length is not None
                       or args.tta_noise_snr_db > 0.0
-                      or args.tta_shift_max_s > 0.0)
+                      or args.tta_shift_max_s > 0.0
+                      or args.tta_shuffle_p > 0.0)
     if args.n_tta > 1 and not tta_stochastic:
         parser.error(
             "--n_tta > 1 requires a stochastic TTA mode "
-            "(--tta_max_audio_length, --tta_noise_snr_db or "
-            "--tta_shift_max_s): inference is deterministic, so TTA "
-            "without one would average identical passes")
+            "(--tta_max_audio_length, --tta_noise_snr_db, "
+            "--tta_shift_max_s or --tta_shuffle_p): inference is "
+            "deterministic, so TTA without one would average identical "
+            "passes")
     common.initialize_accelerator(args.device)
 
     experiment = Experiment(resume_from=args.experiment)
@@ -154,7 +161,8 @@ def main(argv=None):
                 import jax
 
                 tta_fn = common.make_tta_fn(
-                    args.tta_noise_snr_db, args.tta_shift_max_s)
+                    args.tta_noise_snr_db, args.tta_shift_max_s,
+                    shuffle_p=args.tta_shuffle_p)
                 preds = np.mean(
                     [preds] + [
                         common.predict_ordered(
