@@ -95,7 +95,7 @@ def trained_experiment(synth_root, classmap_path):
         "--start_deep_supervision_on", "0",
         "--conv_base_depth", "8",
         "--batch_size", "8",
-        "--epochs", "2",
+        "--epochs", "12",
         "--n_folds", "2",
         "--folds", "0", "1",
         "--max_audio_length", "1",
@@ -123,6 +123,18 @@ class TestTrainCLI:
         assert "metric" in results
         assert "metric" in results["fold0"] and "metric" in results["fold1"]
         assert 0.0 <= results["metric"] <= 1.0
+
+    def test_learns_to_separate_tones(self, trained_experiment):
+        """Learning gate (round-1 VERDICT #1): the REAL train CLI on the
+        perfectly separable tone dataset must reach a global OOF lwlrap far
+        above chance (~0.5 at 3 classes). Fails if the compiled train step,
+        augmenter, schedule, or OOF bookkeeping is broken — not just if the
+        plumbing is."""
+        with open(os.path.join(trained_experiment, "results.json")) as f:
+            results = json.load(f)
+        assert results["metric"] > 0.85, (
+            f"global OOF lwlrap {results['metric']:.3f} — the pipeline "
+            "did not learn the separable tone problem")
 
     def test_prediction_schema(self, trained_experiment):
         preds = pd.read_csv(os.path.join(
@@ -153,6 +165,59 @@ class TestTrainCLI:
             assert os.path.isdir(os.path.join(
                 trained_experiment, "checkpoints", f"fold_{fold}",
                 "final_model"))
+
+
+class TestParityKit:
+    def _load_module(self):
+        import importlib.util
+
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "compare_to_baseline.py")
+        spec = importlib.util.spec_from_file_location(
+            "compare_to_baseline", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_report_passes_against_beatable_reference(
+            self, trained_experiment, synth_root, classmap_path, capsys):
+        mod = self._load_module()
+        rc = mod.main([
+            "--experiment", trained_experiment,
+            "--train_df", synth_root["train_df"],
+            "--classmap", classmap_path,
+            "--reference_lwlrap", "0.5",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "lwlrap delta vs reference" in out and "PASS" in out
+
+    def test_report_fails_when_below_reference(
+            self, trained_experiment, synth_root, classmap_path, capsys):
+        mod = self._load_module()
+        rc = mod.main([
+            "--experiment", trained_experiment,
+            "--train_df", synth_root["train_df"],
+            "--classmap", classmap_path,
+            "--reference_lwlrap", "0.9999",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 1 and "FAIL" in out
+
+    def test_per_class_diff_against_own_oof(
+            self, trained_experiment, synth_root, classmap_path, capsys):
+        """Self-comparison: per-class table renders, delta 0, PASS."""
+        mod = self._load_module()
+        rc = mod.main([
+            "--experiment", trained_experiment,
+            "--train_df", synth_root["train_df"],
+            "--classmap", classmap_path,
+            "--reference_oof_dir",
+            os.path.join(trained_experiment, "predictions"),
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "delta +0.00000 -> PASS" in out
 
 
 class TestPredictCLI:
