@@ -147,6 +147,13 @@ def main():
                 (jnp.asarray(wave),
                  jnp.asarray(lengths[chunk].astype(np.int32))))
 
+    if not batches:
+        raise RuntimeError("bench produced no batches — bucket/config bug")
+    # padded filler rows execute in the timed loop but aren't counted in
+    # N_CLIPS; surface the deflation instead of hiding it (no-silent-caps)
+    n_rows = sum(int(w.shape[0]) for w, _ in batches)
+    pad_fraction = (n_rows - N_CLIPS) / n_rows
+
     # warmup: compile every bucket shape. NOTE: over the axon tunnel,
     # block_until_ready returns WITHOUT waiting for execution — only a
     # value readback forces completion (device programs still run serially,
@@ -163,6 +170,9 @@ def main():
     dt = time.time() - t0
 
     clips_per_sec = N_CLIPS / dt
+    print(f"# pad_fraction={pad_fraction:.4f} "
+          f"({n_rows - N_CLIPS} filler rows of {n_rows}; reported "
+          "clips/s undercounts by this fraction)", flush=True)
     print(json.dumps({
         "metric": "5fold_melcnn_inference_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
