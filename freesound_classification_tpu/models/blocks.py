@@ -99,13 +99,25 @@ class ResnetBlock1d(nn.Module):
 class ResnetBlock2d(nn.Module):
     """Same as ResnetBlock1d in 2d (reference networks/classifiers.py:72-104).
 
-    Input (B, H, W, C)."""
+    Input (B, H, W, C). With ``fused_infer=True``, eval-mode forwards run
+    the one-pass fused Pallas block (BN folded into conv weights,
+    ops/pallas_resnet.py) instead of the 9-stage unfused chain; params and
+    checkpoints are identical in both modes (init and training always take
+    the unfused path)."""
 
     depth: int
     dtype: jnp.dtype = jnp.float32
+    fused_infer: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if (self.fused_infer and not train and not self.is_initializing()
+                and x.shape[-1] == self.depth):
+            from freesound_classification_tpu.ops.pallas_resnet import (
+                resnet_block_2d_infer,
+            )
+
+            return resnet_block_2d_infer(x, self.variables)
         identity = x
         h = nn.Conv(self.depth, (1, 1), dtype=self.dtype, name="conv1")(x)
         h = _bn(train, self.dtype, name="bn1")(h)
@@ -146,6 +158,7 @@ class ConvBlock2d(nn.Module):
 
     depth: int
     dtype: jnp.dtype = jnp.float32
+    fused_infer: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -158,7 +171,9 @@ class ConvBlock2d(nn.Module):
         h = nn.max_pool(h, (wh, ww), strides=(wh, ww))
         h = _bn(train, self.dtype, name="bn_out")(h)
         h = PReLU(self.depth, name="prelu")(h)
-        return ResnetBlock2d(self.depth, self.dtype, name="resnet")(h, train)
+        return ResnetBlock2d(self.depth, self.dtype,
+                             fused_infer=self.fused_infer,
+                             name="resnet")(h, train)
 
 
 def time_mask(lengths: jnp.ndarray, n_frames: int) -> jnp.ndarray:

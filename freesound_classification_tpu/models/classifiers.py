@@ -71,6 +71,10 @@ class TwoDimensionalCNN(nn.Module):
     aggregation_type: str = "max"  # "max" | "rnn"
     n_classes: int = 80
     dtype: jnp.dtype = jnp.float32
+    # eval-mode forwards use the one-pass fused Pallas resnet block
+    # (ops/pallas_resnet.py); training/init paths are unaffected and the
+    # checkpoint layout is identical either way
+    fused_infer: bool = False
 
     @nn.compact
     def __call__(self, spec, frame_lengths, train: bool = False):
@@ -83,7 +87,9 @@ class TwoDimensionalCNN(nn.Module):
         h = x
         lengths = frame_lengths
         for k, depth in enumerate(depths):
-            h = ConvBlock2d(depth, self.dtype, name=f"block{k}")(h, train)
+            h = ConvBlock2d(depth, self.dtype,
+                            fused_infer=self.fused_infer,
+                            name=f"block{k}")(h, train)
             lengths = jnp.maximum(lengths // 2, 1)
             h = mask_time_2d(h, lengths)
             if k >= self.start_deep_supervision_on:
@@ -168,12 +174,15 @@ class HierarchicalCNN(nn.Module):
         return {"class_logits": logits.astype(jnp.float32)}
 
 
-def build_classifier(model_kind: str, config, n_classes: int, dtype=jnp.float32):
+def build_classifier(model_kind: str, config, n_classes: int, dtype=jnp.float32,
+                     fused_infer: bool = False):
     """Construct a classifier module from a network config namespace.
 
     ``config`` needs: num_conv_blocks, start_deep_supervision_on,
     conv_base_depth, growth_rate, output_dropout, aggregation_type
     (the reference CLI flag surface, train_2d_cnn.py:118-146).
+    ``fused_infer`` routes eval-mode 2d resnet blocks through the fused
+    Pallas kernel (inference CLIs set it; training keeps the default).
     """
     common = dict(
         num_conv_blocks=int(config.num_conv_blocks),
@@ -186,7 +195,7 @@ def build_classifier(model_kind: str, config, n_classes: int, dtype=jnp.float32)
         dtype=dtype,
     )
     if model_kind == "2d_cnn":
-        return TwoDimensionalCNN(**common)
+        return TwoDimensionalCNN(fused_infer=fused_infer, **common)
     if model_kind == "hierarchical_cnn":
         return HierarchicalCNN(**common)
     if model_kind == "backbone_cnn":

@@ -1,0 +1,254 @@
+"""Fused inference resnet block: one VMEM pass per image.
+
+The reference's ResnetBlock2d (networks/classifiers.py:72-104) is the
+model's hot loop: conv1x1 -> BN -> PReLU -> conv3x3 -> BN -> PReLU ->
+conv1x1 -> BN -> +identity -> PReLU. Unfused, every stage round-trips the
+(B, H, W, C) activation through HBM (~9 passes); at eval time BatchNorm is
+a per-channel affine, so the whole block collapses to three matmuls plus
+elementwise — one HBM read of x and one write of y.
+
+TPU formulation (all Mosaic-safe ops — no reshapes, no dynamic slices, no
+gathers):
+- BN folds into the conv weights/biases on the host: with
+  s = scale/sqrt(var+eps), ``w' = w*s`` per out-channel and
+  ``b' = (b-mean)*s + beta`` (exact at eval; no train-mode support).
+- The image is laid out as FLAT zero-PADDED rows: (H+2)*(W+2) rows of C
+  channels. In that layout a 3x3 tap shift (dh, dw) is a constant flat row
+  offset ``(dh-1)*(W+2) + (dw-1)`` — the 3x3 conv is NINE statically-shifted
+  full-tile matmuls accumulated in f32, with the zero halo supplying SAME
+  padding. The only non-matmul work is PReLU and masks.
+- Grid is (B,); per image the padded input is DMA'd to VMEM once, conv1 +
+  PReLU writes the h1 plane to VMEM scratch (halo re-zeroed via a
+  precomputed center mask), and the 9-tap accumulation + conv3 + residual +
+  PReLU stream out in statically unrolled row bands (bounds live f32
+  registers; all slice starts are Python constants).
+
+Used by models/blocks.py ResnetBlock2d(fused_infer=True) at eval time (the
+bench + predict/evaluate inference path). Falls back to a folded-weight XLA
+twin off-TPU or when the working set would not fit VMEM; both paths are
+tested against the unfused Flax block (tests/test_pallas_resnet.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from freesound_classification_tpu.ops.pallas_kernels import _on_tpu
+
+_BAND = 2048  # center rows per unrolled compute band
+_VMEM_CAP = 11 * 1024 * 1024  # conservative fit check (chip VMEM ~16 MB)
+
+
+def fold_block_params(variables, eps: float = 1e-5):
+    """Fold eval-mode BN into conv weights for one ResnetBlock2d.
+
+    ``variables``: the block's own {"params": ..., "batch_stats": ...}
+    subtree (conv1/bn1/prelu1/conv2/bn2/prelu2/conv3/bn3/prelu3 as created
+    by models/blocks.py). Returns a dict of arrays:
+    w1 (C, K), w2 (9, K, K) tap-major, w3 (K, K), b1/b2/b3 (K,),
+    a1/a2/a3 (K,).
+    """
+    p = variables["params"]
+    bs = variables["batch_stats"]
+
+    def fold(conv_name, bn_name):
+        kern = p[conv_name]["kernel"]  # (1,1,C,K) or (3,3,C,K)
+        bias = p[conv_name]["bias"]
+        scale = p[bn_name]["scale"]
+        beta = p[bn_name]["bias"]
+        mean = bs[bn_name]["mean"]
+        var = bs[bn_name]["var"]
+        s = scale / jnp.sqrt(var + eps)
+        return kern * s, (bias - mean) * s + beta
+
+    w1, b1 = fold("conv1", "bn1")
+    w2, b2 = fold("conv2", "bn2")
+    w3, b3 = fold("conv3", "bn3")
+    return {
+        "w1": w1[0, 0],  # (C, K)
+        "w2": w2.reshape(9, w2.shape[2], w2.shape[3]),  # tap-major (9, C, K)
+        "w3": w3[0, 0],
+        "b1": b1, "b2": b2, "b3": b3,
+        "a1": p["prelu1"]["alpha"],
+        "a2": p["prelu2"]["alpha"],
+        "a3": p["prelu3"]["alpha"],
+    }
+
+
+def _prelu(x, a):
+    return jnp.where(x >= 0, x, a * x)
+
+
+def resnet_block_2d_infer_xla(x, fp):
+    """Folded-weight XLA twin (off-TPU fallback and parity oracle)."""
+    dt = x.dtype
+    h = jnp.einsum("bhwc,ck->bhwk", x, fp["w1"].astype(dt)) + fp["b1"]
+    h = _prelu(h, fp["a1"]).astype(dt)
+    w2 = fp["w2"].reshape(3, 3, fp["w2"].shape[1], fp["w2"].shape[2])
+    h = jax.lax.conv_general_dilated(
+        h, w2.astype(dt), window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + fp["b2"]
+    h = _prelu(h, fp["a2"]).astype(dt)
+    h = jnp.einsum("bhwk,kj->bhwj", h, fp["w3"].astype(dt)) + fp["b3"]
+    h = h + x.astype(h.dtype)
+    return _prelu(h, fp["a3"]).astype(dt)
+
+
+def _fused_kernel(n_center, wp, n_bands, band, x_hbm, mask_ref,
+                  w1_ref, w2_ref, w3_ref, b1_ref, b2_ref, b3_ref,
+                  a1_ref, a2_ref, a3_ref, out_hbm,
+                  xv, h1, ystage, sems):
+    b = pl.program_id(0)
+    r_in = x_hbm.shape[1]
+
+    cp_in = pltpu.make_async_copy(x_hbm.at[b], xv, sems.at[0])
+    cp_in.start()
+
+    # zero the h1 plane (its 2 tail slack rows and the halo must read 0)
+    h1[:] = jnp.zeros_like(h1)
+    cp_in.wait()
+
+    # conv1 (1x1) + folded bn1 + PReLU over every padded row; the center
+    # mask zeroes the halo rows/cols again (bias/PReLU made them nonzero)
+    h1_val = jnp.dot(xv[:], w1_ref[:], preferred_element_type=jnp.float32)
+    h1_val = _prelu(h1_val + b1_ref[:], a1_ref[:]) * mask_ref[:]
+    h1[0:r_in] = h1_val.astype(h1.dtype)
+
+    def out_dma(band_i):
+        # all out DMAs move one FULL band (tiling-aligned offsets/sizes);
+        # the tail band's slack rows are garbage the caller slices away
+        slot = band_i % 2
+        s = band_i * band
+        return pltpu.make_async_copy(
+            ystage.at[slot], out_hbm.at[b, s : s + band], sems.at[1 + slot])
+
+    base = wp + 1  # flat row of center position (h=1, w=1)
+    for band_i in range(n_bands):
+        s = band_i * band
+        nb = min(band, n_center - s)
+        acc = None
+        for dh in range(3):
+            for dw in range(3):
+                off = (dh - 1) * wp + (dw - 1)
+                sub = h1[base + off + s : base + off + s + nb]
+                t = jnp.dot(sub, w2_ref[3 * dh + dw],
+                            preferred_element_type=jnp.float32)
+                acc = t if acc is None else acc + t
+        h2 = _prelu(acc + b2_ref[:], a2_ref[:]).astype(h1.dtype)
+        h3 = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
+        res = xv[base + s : base + s + nb].astype(jnp.float32)
+        y = _prelu(h3 + b3_ref[:] + res, a3_ref[:])
+
+        slot = band_i % 2
+        if band_i >= 2:  # slot reused: prior DMA out of it must be done
+            out_dma(band_i - 2).wait()
+        ystage[slot, 0:nb] = y.astype(ystage.dtype)
+        out_dma(band_i).start()
+    # drain outstanding writes before the next grid step reuses the slots
+    for band_i in range(max(n_bands - 2, 0), n_bands):
+        out_dma(band_i).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def _fused_pallas(x_flat, mask, fp_w1, fp_w2, fp_w3, b1, b2, b3, a1, a2, a3,
+                  h: int, w: int, interpret: bool = False):
+    """x_flat: (B, (H+2)*(W+2), C) zero-padded flat rows, bf16."""
+    bsz, r_in, c = x_flat.shape
+    k = fp_w1.shape[1]
+    wp = w + 2
+    n_center = h * wp  # center rows, halo columns included (masked later)
+    band = min(_BAND, ((n_center + 15) // 16) * 16)
+    n_bands = -(-n_center // band)
+    n_pad = n_bands * band
+
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, n_center, wp, n_bands, band),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x, manual DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # center mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 (9, C, K)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w3
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b3
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a3
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # manual DMA out
+        out_shape=jax.ShapeDtypeStruct((bsz, n_pad, k), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((r_in, c), jnp.bfloat16),      # xv
+            pltpu.VMEM((r_in + 2, k), jnp.bfloat16),  # h1 plane (+2 slack)
+            pltpu.VMEM((2, band, k), jnp.bfloat16),   # out staging
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * n_center * c * (c + 9 * k + k),
+            bytes_accessed=2 * bsz * (r_in * c + n_center * k),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_flat, mask,
+      fp_w1.astype(jnp.bfloat16),
+      fp_w2.astype(jnp.bfloat16),
+      fp_w3.astype(jnp.bfloat16),
+      b1.astype(jnp.float32)[None, :], b2.astype(jnp.float32)[None, :],
+      b3.astype(jnp.float32)[None, :],
+      a1.astype(jnp.float32)[None, :], a2.astype(jnp.float32)[None, :],
+      a3.astype(jnp.float32)[None, :])
+    return out[:, :n_center]
+
+
+def _vmem_estimate(h: int, w: int, c: int, k: int) -> int:
+    r_in = (h + 2) * (w + 2)
+    lanes = -(-max(c, k) // 128) * 128
+    band = min(_BAND, ((h * (w + 2) + 15) // 16) * 16)
+    return (
+        2 * r_in * lanes          # xv bf16
+        + 2 * (r_in + 2) * lanes  # h1 bf16
+        + 2 * 2 * band * lanes    # staging bf16
+        + 3 * 4 * band * lanes    # live f32 acc/temps (rough)
+        + 2 * 11 * lanes * lanes  # weights
+    )
+
+
+def resnet_block_2d_infer(x, variables):
+    """Eval-mode fused ResnetBlock2d forward. x: (B, H, W, C) -> same shape.
+
+    Routes to the Pallas kernel on TPU when the per-image working set fits
+    VMEM; otherwise the folded-weight XLA twin (identical math).
+    """
+    fp = fold_block_params(variables)
+    bsz, h, w, c = x.shape
+    k = fp["w1"].shape[1]
+    if c != k:
+        return resnet_block_2d_infer_xla(x, fp)
+    if not (_on_tpu() and _vmem_estimate(h, w, c, k) <= _VMEM_CAP):
+        return resnet_block_2d_infer_xla(x, fp)
+
+    wp, hp = w + 2, h + 2
+    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    x_flat = xp.reshape(bsz, hp * wp, c)
+    # center mask in flat coords: 1 <= h_pos <= H and 1 <= w_pos <= W
+    idx = np.arange(hp * wp)
+    hh, ww = idx // wp, idx % wp
+    mask = (((hh >= 1) & (hh <= h) & (ww >= 1) & (ww <= w))
+            .astype(np.float32))[:, None]
+    out = _fused_pallas(
+        x_flat, jnp.asarray(mask), fp["w1"], fp["w2"], fp["w3"],
+        fp["b1"], fp["b2"], fp["b3"], fp["a1"], fp["a2"], fp["a3"],
+        h=h, w=w, interpret=not _on_tpu())
+    # flat out row j maps to padded position (Wp+1)+j, so the (h, Wp)
+    # reshape's column c is interior pixel (h+1, c+1): the first w columns
+    # are exactly the valid region, the last two are halo-wrap discards
+    out = out.reshape(bsz, h, wp, k)[:, :, :w, :]
+    return out.astype(x.dtype)

@@ -174,6 +174,35 @@ def main():
     timed(jax.jit(lambda v, x, f: model32.apply(v, x, f, train=False)),
           v32, inputs, fl, n=10, label="forward f32 depth=6")
 
+    # fused-inference blocks (ops/pallas_resnet.py, eval only)
+    model_fused = TwoDimensionalCNN(
+        num_conv_blocks=6, start_deep_supervision_on=2, conv_base_depth=64,
+        growth_rate=1.5, aggregation_type="max", n_classes=N_CLASSES,
+        dtype=jnp.bfloat16, fused_infer=True)
+    timed(jax.jit(lambda v, x, f: model_fused.apply(v, x, f, train=False)),
+          variables, inputs, fl, n=10, label="forward fused blocks depth=6")
+
+    # rnn (biGRU) aggregation — round-1 VERDICT weak #7: every published
+    # number used aggregation_type="max"; the reference's rnn mode scans
+    # ~2.5k frames/block and was never measured on hardware
+    model_rnn = TwoDimensionalCNN(
+        num_conv_blocks=6, start_deep_supervision_on=2, conv_base_depth=64,
+        growth_rate=1.5, aggregation_type="rnn", n_classes=N_CLASSES,
+        dtype=jnp.bfloat16)
+    v_rnn = model_rnn.init({"params": jax.random.PRNGKey(0)}, inputs, fl,
+                           train=False)
+    timed(jax.jit(lambda v, x, f: model_rnn.apply(v, x, f, train=False)),
+          v_rnn, inputs, fl, n=10, label="forward rnn-agg depth=6")
+
+    def fwd_train_rnn(v, x, f):
+        out, _ = model_rnn.apply(
+            v, x, f, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)})
+        return out["class_logits"]
+
+    timed(jax.jit(fwd_train_rnn), v_rnn, inputs, fl, n=10,
+          label="forward train=True rnn-agg depth=6")
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,92 @@
+"""Fused inference resnet block vs the unfused Flax block.
+
+The fused path (ops/pallas_resnet.py) folds eval-mode BN into conv weights
+and runs one VMEM pass; off-TPU the Pallas kernel runs interpreted, so
+these tests exercise the EXACT code path that ships (minus Mosaic
+lowering, which tpu_smoke.py gates on hardware).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from freesound_classification_tpu.models.blocks import ResnetBlock2d
+from freesound_classification_tpu.ops import pallas_resnet
+
+
+def _init_block(c, h, w, b=2, seed=0, dtype=jnp.float32):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype("f4"))
+    block = ResnetBlock2d(c, dtype)
+    variables = block.init({"params": jax.random.PRNGKey(seed)}, x,
+                           train=False)
+    # nudge batch_stats off the init values so BN folding is non-trivial
+    variables = jax.tree.map(lambda v: v, variables)
+    bs = jax.tree.map(
+        lambda v: v + 0.3 * jnp.asarray(
+            np.random.RandomState(1).rand(*v.shape), v.dtype),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+    return x, block, variables
+
+
+class TestFoldedXLATwin:
+    @pytest.mark.parametrize("c,h,w", [(8, 6, 11), (16, 4, 4), (8, 1, 5)])
+    def test_matches_flax_eval(self, c, h, w):
+        x, block, variables = _init_block(c, h, w)
+        ref = block.apply(variables, x, train=False)
+        fp = pallas_resnet.fold_block_params(variables)
+        out = pallas_resnet.resnet_block_2d_infer_xla(x, fp)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-3)
+
+
+class TestFusedKernel:
+    @pytest.mark.parametrize("c,h,w", [(8, 6, 11), (16, 5, 7)])
+    def test_interpret_matches_flax_eval(self, c, h, w):
+        x, block, variables = _init_block(c, h, w, seed=3)
+        ref = np.asarray(block.apply(variables, x, train=False))
+        fp = pallas_resnet.fold_block_params(variables)
+        xp = jnp.pad(x.astype(jnp.bfloat16),
+                     ((0, 0), (1, 1), (1, 1), (0, 0)))
+        b = x.shape[0]
+        x_flat = xp.reshape(b, (h + 2) * (w + 2), c)
+        idx = np.arange((h + 2) * (w + 2))
+        hh, ww = idx // (w + 2), idx % (w + 2)
+        mask = (((hh >= 1) & (hh <= h) & (ww >= 1) & (ww <= w))
+                .astype(np.float32))[:, None]
+        out = pallas_resnet._fused_pallas(
+            x_flat, jnp.asarray(mask), fp["w1"], fp["w2"], fp["w3"],
+            fp["b1"], fp["b2"], fp["b3"], fp["a1"], fp["a2"], fp["a3"],
+            h=h, w=w, interpret=True)
+        out = np.asarray(out).reshape(b, h, w + 2, c)[:, :, :w, :]
+        # bf16 activations in the kernel: compare at bf16 tolerance
+        np.testing.assert_allclose(out, ref, atol=0.06, rtol=0.05)
+        corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+        assert corr > 0.999, corr
+
+    def test_flax_fused_flag_routes_and_matches(self):
+        c, h, w = 8, 6, 11
+        x, _, variables = _init_block(c, h, w, seed=5)
+        plain = ResnetBlock2d(c)
+        fused = ResnetBlock2d(c, fused_infer=True)
+        ref = np.asarray(plain.apply(variables, x, train=False))
+        out = np.asarray(fused.apply(variables, x, train=False))
+        # off-TPU the fused flag routes to the folded XLA twin
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+    def test_train_mode_ignores_fused_flag(self):
+        c, h, w = 8, 6, 11
+        x, _, variables = _init_block(c, h, w, seed=7)
+        plain = ResnetBlock2d(c)
+        fused = ResnetBlock2d(c, fused_infer=True)
+        r1, m1 = plain.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+        r2, m2 = fused.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6),
+            m1, m2)

@@ -149,6 +149,49 @@ def main() -> int:
     print(f"SMOKE: augmenter {ms:.1f} ms/call at B=4 (bound 150)  "
           f"[{time.time()-t0:.0f}s]")
 
+    # 7. biGRU aggregation path (round-1 VERDICT weak #7: the rnn mode was
+    # perf-unmeasured on hardware). Finite logits + a loose per-call bound
+    # at B=4 x 65536 (the lax.scan over ~2.5k frames is the risk).
+    model_rnn = TwoDimensionalCNN(
+        num_conv_blocks=6, start_deep_supervision_on=2, conv_base_depth=64,
+        growth_rate=1.5, aggregation_type="rnn", n_classes=80,
+        dtype=jnp.bfloat16)
+    v_rnn = model_rnn.init({"params": jax.random.PRNGKey(2)}, feats, fl,
+                           train=False)
+    fwd_rnn = jax.jit(lambda v, x, l: model_rnn.apply(v, x, l, train=False))
+    out_rnn = fwd_rnn(v_rnn, feats, fl)
+    logits_rnn = np.asarray(out_rnn["class_logits"])
+    assert np.isfinite(logits_rnn).all(), "non-finite rnn-agg logits"
+    t1 = time.time()
+    for _ in range(n):
+        out_rnn = fwd_rnn(v_rnn, feats, fl)
+    float(jnp.sum(out_rnn["class_logits"]))
+    ms = (time.time() - t1) / n * 1e3
+    assert ms < 400.0, f"rnn-agg forward {ms:.1f} ms at B=4 — scan blowup?"
+    print(f"SMOKE: rnn-agg forward {ms:.1f} ms/call at B=4 (bound 400)  "
+          f"[{time.time()-t0:.0f}s]")
+
+    # 8. Fused inference resnet block vs the unfused flax block on chip
+    # (Mosaic numerics gate, same rationale as the PV gate above)
+    from freesound_classification_tpu.models.blocks import ResnetBlock2d
+
+    rngx = np.random.RandomState(3)
+    xblk = jnp.asarray(rngx.randn(4, 64, 215, 64).astype(np.float32) * 0.5
+                       ).astype(jnp.bfloat16)
+    blk = ResnetBlock2d(64, jnp.bfloat16)
+    vblk = blk.init({"params": jax.random.PRNGKey(3)}, xblk, train=False)
+    blk_fused = ResnetBlock2d(64, jnp.bfloat16, fused_infer=True)
+    ref_b = np.asarray(jax.jit(
+        lambda v, x: blk.apply(v, x, train=False))(vblk, xblk),
+        dtype=np.float32)
+    out_b = np.asarray(jax.jit(
+        lambda v, x: blk_fused.apply(v, x, train=False))(vblk, xblk),
+        dtype=np.float32)
+    corr_b = float(np.corrcoef(ref_b.ravel(), out_b.ravel())[0, 1])
+    assert corr_b > 0.999, f"fused resnet block corr {corr_b} vs flax"
+    print(f"SMOKE: fused resnet block ok (corr {corr_b:.5f})  "
+          f"[{time.time()-t0:.0f}s]")
+
     print(f"SMOKE PASS  [{time.time()-t0:.0f}s total]")
     return 0
 
