@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from freesound_classification_tpu.ops.pallas_kernels import _on_tpu
 
 _BAND = 2048  # center rows per unrolled compute band
-_VMEM_CAP = 11 * 1024 * 1024  # conservative fit check (chip VMEM ~16 MB)
+_VMEM_CAP = 13 * 1024 * 1024  # fit check (chip VMEM ~16 MB, compiler slack)
 
 
 def fold_block_params(variables, eps: float = 1e-5):
@@ -158,8 +158,10 @@ def _fused_kernel(n_center, wp, n_bands, band, x_hbm, mask_ref,
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
 def _fused_pallas(x_flat, mask, fp_w1, fp_w2, fp_w3, b1, b2, b3, a1, a2, a3,
                   h: int, w: int, interpret: bool = False):
-    """x_flat: (B, (H+2)*(W+2), C) zero-padded flat rows, bf16."""
+    """x_flat: (B, R, C) zero-padded flat rows (R = (H+2)*(W+2) rounded up
+    to 16 — HBM DMA row counts must sit on the tiling grid), bf16."""
     bsz, r_in, c = x_flat.shape
+    assert r_in % 16 == 0, "pad flat rows to a multiple of 16"
     k = fp_w1.shape[1]
     wp = w + 2
     n_center = h * wp  # center rows, halo columns included (masked later)
@@ -187,7 +189,7 @@ def _fused_pallas(x_flat, mask, fp_w1, fp_w2, fp_w3, b1, b2, b3, a1, a2, a3,
         out_shape=jax.ShapeDtypeStruct((bsz, n_pad, k), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((r_in, c), jnp.bfloat16),      # xv
-            pltpu.VMEM((r_in + 2, k), jnp.bfloat16),  # h1 plane (+2 slack)
+            pltpu.VMEM((r_in + 16, k), jnp.bfloat16),  # h1 plane (+slack)
             pltpu.VMEM((2, band, k), jnp.bfloat16),   # out staging
             pltpu.SemaphoreType.DMA((3,)),
         ],
@@ -196,6 +198,8 @@ def _fused_pallas(x_flat, mask, fp_w1, fp_w2, fp_w3, b1, b2, b3, a1, a2, a3,
             bytes_accessed=2 * bsz * (r_in * c + n_center * k),
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_CAP + 2 * 1024 * 1024),
         interpret=interpret,
     )(x_flat, mask,
       fp_w1.astype(jnp.bfloat16),
@@ -238,11 +242,13 @@ def resnet_block_2d_infer(x, variables):
     wp, hp = w + 2, h + 2
     xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1), (0, 0)))
     x_flat = xp.reshape(bsz, hp * wp, c)
+    r_pad = -(-(hp * wp) // 16) * 16  # HBM DMA rows on the tiling grid
+    x_flat = jnp.pad(x_flat, ((0, 0), (0, r_pad - hp * wp), (0, 0)))
     # center mask in flat coords: 1 <= h_pos <= H and 1 <= w_pos <= W
-    idx = np.arange(hp * wp)
+    idx = np.arange(r_pad)
     hh, ww = idx // wp, idx % wp
-    mask = (((hh >= 1) & (hh <= h) & (ww >= 1) & (ww <= w))
-            .astype(np.float32))[:, None]
+    mask = (((hh >= 1) & (hh <= h) & (ww >= 1) & (ww <= w)
+             & (idx < hp * wp)).astype(np.float32))[:, None]
     out = _fused_pallas(
         x_flat, jnp.asarray(mask), fp["w1"], fp["w2"], fp["w3"],
         fp["b1"], fp["b2"], fp["b3"], fp["a1"], fp["a2"], fp["a3"],

@@ -51,10 +51,13 @@ class TestFusedKernel:
         xp = jnp.pad(x.astype(jnp.bfloat16),
                      ((0, 0), (1, 1), (1, 1), (0, 0)))
         b = x.shape[0]
-        x_flat = xp.reshape(b, (h + 2) * (w + 2), c)
-        idx = np.arange((h + 2) * (w + 2))
+        r = (h + 2) * (w + 2)
+        r_pad = -(-r // 16) * 16
+        x_flat = jnp.pad(xp.reshape(b, r, c), ((0, 0), (0, r_pad - r),
+                                               (0, 0)))
+        idx = np.arange(r_pad)
         hh, ww = idx // (w + 2), idx % (w + 2)
-        mask = (((hh >= 1) & (hh <= h) & (ww >= 1) & (ww <= w))
+        mask = (((hh >= 1) & (hh <= h) & (ww >= 1) & (ww <= w) & (idx < r))
                 .astype(np.float32))[:, None]
         out = pallas_resnet._fused_pallas(
             x_flat, jnp.asarray(mask), fp["w1"], fp["w2"], fp["w3"],
