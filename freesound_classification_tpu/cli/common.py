@@ -196,7 +196,10 @@ def build_engine(args, experiment, model_kind: str, n_classes: int,
                  writers: bool = True) -> Engine:
     dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
     model = build_classifier(
-        model_kind, experiment.config.network, n_classes, dtype=dtype
+        model_kind, experiment.config.network, n_classes, dtype=dtype,
+        # eval forwards fold BN into the conv weights (ops/pallas_resnet);
+        # init/training paths are unaffected, checkpoints identical
+        fused_infer=bool(getattr(args, "fused_infer", False)),
     )
     frontend = Frontend(
         args.features, MODEL_FAMILY[model_kind], sr=SR,

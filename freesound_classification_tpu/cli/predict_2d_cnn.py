@@ -78,6 +78,8 @@ def build_inference_engine(args, experiment, model_kind, fold, example_loader):
         p_mixup=0.0, p_aug=0.0,
         bf16=getattr(args, "bf16", False),
         use_pallas=getattr(args, "use_pallas", False),
+        # inference-only engine: fold BN into conv weights at eval
+        fused_infer=(model_kind == "2d_cnn"),
         mesh_devices=getattr(args, "mesh_devices", None),
         loss=(cfg.train._loss if "_loss" in cfg.train else "lsep_naive"),
         mixup_exact_add=False,

@@ -110,15 +110,19 @@ def _fused_kernel(n_center, wp, n_bands, band, x_hbm, mask_ref,
     cp_in = pltpu.make_async_copy(x_hbm.at[b], xv, sems.at[0])
     cp_in.start()
 
-    # zero the h1 plane (its 2 tail slack rows and the halo must read 0)
+    # zero the h1 plane (its tail slack rows and the halo must read 0)
     h1[:] = jnp.zeros_like(h1)
     cp_in.wait()
 
-    # conv1 (1x1) + folded bn1 + PReLU over every padded row; the center
-    # mask zeroes the halo rows/cols again (bias/PReLU made them nonzero)
-    h1_val = jnp.dot(xv[:], w1_ref[:], preferred_element_type=jnp.float32)
-    h1_val = _prelu(h1_val + b1_ref[:], a1_ref[:]) * mask_ref[:]
-    h1[0:r_in] = h1_val.astype(h1.dtype)
+    # conv1 (1x1) + folded bn1 + PReLU over every padded row, in bands so
+    # the f32 temporary stays ~1 MB (a full-plane value blew scoped VMEM);
+    # the center mask re-zeroes the halo (bias/PReLU made it nonzero)
+    for s1 in range(0, r_in, band):
+        n1 = min(band, r_in - s1)
+        t1 = jnp.dot(xv[s1 : s1 + n1], w1_ref[:],
+                     preferred_element_type=jnp.float32)
+        t1 = _prelu(t1 + b1_ref[:], a1_ref[:]) * mask_ref[s1 : s1 + n1]
+        h1[s1 : s1 + n1] = t1.astype(h1.dtype)
 
     def out_dma(band_i):
         # all out DMAs move one FULL band (tiling-aligned offsets/sizes);
@@ -159,9 +163,11 @@ def _fused_kernel(n_center, wp, n_bands, band, x_hbm, mask_ref,
 def _fused_pallas(x_flat, mask, fp_w1, fp_w2, fp_w3, b1, b2, b3, a1, a2, a3,
                   h: int, w: int, interpret: bool = False):
     """x_flat: (B, R, C) zero-padded flat rows (R = (H+2)*(W+2) rounded up
-    to 16 — HBM DMA row counts must sit on the tiling grid), bf16."""
+    to 16, C rounded up to 128 — Mosaic HBM DMA slices must sit on the
+    (16, 128) bf16 tiling grid), bf16."""
     bsz, r_in, c = x_flat.shape
     assert r_in % 16 == 0, "pad flat rows to a multiple of 16"
+    assert c % 128 == 0, "pad channels to a multiple of 128"
     k = fp_w1.shape[1]
     wp = w + 2
     n_center = h * wp  # center rows, halo columns included (masked later)
@@ -225,36 +231,63 @@ def _vmem_estimate(h: int, w: int, c: int, k: int) -> int:
     )
 
 
-def resnet_block_2d_infer(x, variables):
+def resnet_block_2d_infer(x, variables, use_pallas_kernel: bool = False):
     """Eval-mode fused ResnetBlock2d forward. x: (B, H, W, C) -> same shape.
 
-    Routes to the Pallas kernel on TPU when the per-image working set fits
-    VMEM; otherwise the folded-weight XLA twin (identical math).
+    Default path is the folded-weight XLA twin: BN collapsed into the conv
+    weights, which removes the BN stages entirely and measured slightly
+    faster than the unfused flax block on hardware (2.84 vs 3.04 ms at
+    B=64, 64x215x64 bf16).
+
+    ``use_pallas_kernel=True`` routes to the one-pass Pallas kernel when it
+    fits VMEM. MEASURED NEGATIVE RESULT (v5e-1, same shape): the kernel is
+    numerically exact (corr 0.9999994 vs flax) but 7.97 ms vs XLA's
+    3.12 ms — the statically-shifted tap slices land at odd sublane
+    offsets, and each triggers a whole-band relayout that costs more than
+    the HBM round trips the fusion saves. Fixing it needs a transposed
+    (C, positions) layout with lane-rotate taps; recorded in ROADMAP.md,
+    not pursued — XLA's conv path is already within ~1.5x of the
+    achievable floor at C=64 (50% lane utilization cap).
     """
     fp = fold_block_params(variables)
     bsz, h, w, c = x.shape
     k = fp["w1"].shape[1]
     if c != k:
         return resnet_block_2d_infer_xla(x, fp)
-    if not (_on_tpu() and _vmem_estimate(h, w, c, k) <= _VMEM_CAP):
+    if not (use_pallas_kernel and _on_tpu()
+            and _vmem_estimate(h, w, c, k) <= _VMEM_CAP):
         return resnet_block_2d_infer_xla(x, fp)
 
     wp, hp = w + 2, h + 2
     xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1), (0, 0)))
     x_flat = xp.reshape(bsz, hp * wp, c)
-    r_pad = -(-(hp * wp) // 16) * 16  # HBM DMA rows on the tiling grid
-    x_flat = jnp.pad(x_flat, ((0, 0), (0, r_pad - hp * wp), (0, 0)))
+    # Mosaic HBM DMA slices must sit on the bf16 (16, 128) tiling grid:
+    # round flat rows to 16 and channels to a full 128-lane tile (the lane
+    # padding costs nothing extra in VMEM — it stores 128 lanes either way)
+    r_pad = -(-(hp * wp) // 16) * 16
+    c_pad = -(-c // 128) * 128
+    x_flat = jnp.pad(x_flat, ((0, 0), (0, r_pad - hp * wp),
+                              (0, c_pad - c)))
     # center mask in flat coords: 1 <= h_pos <= H and 1 <= w_pos <= W
     idx = np.arange(r_pad)
     hh, ww = idx // wp, idx % wp
     mask = (((hh >= 1) & (hh <= h) & (ww >= 1) & (ww <= w)
              & (idx < hp * wp)).astype(np.float32))[:, None]
+
+    def padw(m):  # (C, K) -> (c_pad, c_pad): zero rows/cols are inert
+        return jnp.pad(m, ((0, c_pad - m.shape[0]), (0, c_pad - m.shape[1])))
+
+    def padv(v):
+        return jnp.pad(v, (0, c_pad - v.shape[0]))
+
+    w2p = jnp.pad(fp["w2"], ((0, 0), (0, c_pad - c), (0, c_pad - c)))
     out = _fused_pallas(
-        x_flat, jnp.asarray(mask), fp["w1"], fp["w2"], fp["w3"],
-        fp["b1"], fp["b2"], fp["b3"], fp["a1"], fp["a2"], fp["a3"],
+        x_flat, jnp.asarray(mask), padw(fp["w1"]), w2p, padw(fp["w3"]),
+        padv(fp["b1"]), padv(fp["b2"]), padv(fp["b3"]),
+        padv(fp["a1"]), padv(fp["a2"]), padv(fp["a3"]),
         h=h, w=w, interpret=not _on_tpu())
     # flat out row j maps to padded position (Wp+1)+j, so the (h, Wp)
     # reshape's column c is interior pixel (h+1, c+1): the first w columns
     # are exactly the valid region, the last two are halo-wrap discards
-    out = out.reshape(bsz, h, wp, k)[:, :, :w, :]
+    out = out.reshape(bsz, h, wp, c_pad)[:, :, :w, :k]
     return out.astype(x.dtype)

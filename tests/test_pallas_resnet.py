@@ -53,17 +53,23 @@ class TestFusedKernel:
         b = x.shape[0]
         r = (h + 2) * (w + 2)
         r_pad = -(-r // 16) * 16
+        c_pad = 128
         x_flat = jnp.pad(xp.reshape(b, r, c), ((0, 0), (0, r_pad - r),
-                                               (0, 0)))
+                                               (0, c_pad - c)))
         idx = np.arange(r_pad)
         hh, ww = idx // (w + 2), idx % (w + 2)
         mask = (((hh >= 1) & (hh <= h) & (ww >= 1) & (ww <= w) & (idx < r))
                 .astype(np.float32))[:, None]
+        padw = lambda m: jnp.pad(  # noqa: E731
+            m, ((0, c_pad - m.shape[0]), (0, c_pad - m.shape[1])))
+        padv = lambda v: jnp.pad(v, (0, c_pad - v.shape[0]))  # noqa: E731
+        w2p = jnp.pad(fp["w2"], ((0, 0), (0, c_pad - c), (0, c_pad - c)))
         out = pallas_resnet._fused_pallas(
-            x_flat, jnp.asarray(mask), fp["w1"], fp["w2"], fp["w3"],
-            fp["b1"], fp["b2"], fp["b3"], fp["a1"], fp["a2"], fp["a3"],
+            x_flat, jnp.asarray(mask), padw(fp["w1"]), w2p, padw(fp["w3"]),
+            padv(fp["b1"]), padv(fp["b2"]), padv(fp["b3"]),
+            padv(fp["a1"]), padv(fp["a2"]), padv(fp["a3"]),
             h=h, w=w, interpret=True)
-        out = np.asarray(out).reshape(b, h, w + 2, c)[:, :, :w, :]
+        out = np.asarray(out).reshape(b, h, w + 2, c_pad)[:, :, :w, :c]
         # bf16 activations in the kernel: compare at bf16 tolerance
         np.testing.assert_allclose(out, ref, atol=0.06, rtol=0.05)
         corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
