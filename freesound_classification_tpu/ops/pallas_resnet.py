@@ -86,18 +86,25 @@ def _prelu(x, a):
 
 
 def resnet_block_2d_infer_xla(x, fp):
-    """Folded-weight XLA twin (off-TPU fallback and parity oracle)."""
+    """Folded-weight XLA twin (default fused path, off-TPU fallback, and
+    parity oracle). Everything stays in x.dtype — f32 biases/alphas would
+    silently promote every intermediate to f32 and double the HBM traffic
+    (measured: -25% on the 5-fold bench before the casts were added)."""
     dt = x.dtype
-    h = jnp.einsum("bhwc,ck->bhwk", x, fp["w1"].astype(dt)) + fp["b1"]
-    h = _prelu(h, fp["a1"]).astype(dt)
+    b1, b2, b3 = (fp["b1"].astype(dt), fp["b2"].astype(dt),
+                  fp["b3"].astype(dt))
+    a1, a2, a3 = (fp["a1"].astype(dt), fp["a2"].astype(dt),
+                  fp["a3"].astype(dt))
+    h = jnp.einsum("bhwc,ck->bhwk", x, fp["w1"].astype(dt)) + b1
+    h = _prelu(h, a1)
     w2 = fp["w2"].reshape(3, 3, fp["w2"].shape[1], fp["w2"].shape[2])
     h = jax.lax.conv_general_dilated(
         h, w2.astype(dt), window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC")) + fp["b2"]
-    h = _prelu(h, fp["a2"]).astype(dt)
-    h = jnp.einsum("bhwk,kj->bhwj", h, fp["w3"].astype(dt)) + fp["b3"]
-    h = h + x.astype(h.dtype)
-    return _prelu(h, fp["a3"]).astype(dt)
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b2
+    h = _prelu(h, a2)
+    h = jnp.einsum("bhwk,kj->bhwj", h, fp["w3"].astype(dt)) + b3
+    h = h + x
+    return _prelu(h, a3)
 
 
 def _fused_kernel(n_center, wp, n_bands, band, x_hbm, mask_ref,

@@ -19,8 +19,15 @@ Correctness parity with the sequential path:
   row, mesh-padding style) and masked out of loss/metric — no clip is ever
   trimmed away;
 - the lock-step epoch runs to the LONGEST fold loader, cycling shorter
-  loaders (every fold consumes its full epoch of data; folds whose loader is
-  shorter see a few re-drawn batches);
+  loaders. This is a DELIBERATE DIVERGENCE from the sequential path, not an
+  equivalence: with unbalanced folds, a shorter fold sees extra re-drawn
+  batches each epoch (up to len_longest - len_shortest, drawn from a fresh
+  reshuffle), so its per-epoch sample distribution differs slightly and its
+  optimizer takes more steps per epoch than sequentially. With near-equal
+  fold sizes (the k-fold norm) the difference is a few batches per epoch;
+  artifacts (checkpoints, metrics files) have the same schema and
+  semantics, but per-fold training trajectories are NOT bit-identical to
+  the sequential path;
 - resume (full stacked state via per-fold last_model checkpoints +
   progress.json), periodic ``save_every`` checkpoints, and per-fold
   tensorboard writers match Engine.fit_validate semantics.
@@ -212,7 +219,9 @@ class MultiFoldEngine:
 
         The epoch runs to the LONGEST fold loader; shorter loaders cycle
         (fresh iterators, so their reshuffle still advances) — every fold
-        consumes at least its full epoch of data and no batch is trimmed.
+        consumes at least its full epoch of data and no batch is trimmed,
+        but unbalanced folds see extra re-drawn batches vs the sequential
+        path (a deliberate divergence; see the module docstring).
         """
         losses, metrics = [], []
         n_steps = max(len(l) for l in fold_loaders)
