@@ -92,7 +92,7 @@ def _static_response(fft_len: int, sr: int, pre_delay_ms: float,
 @functools.partial(
     jax.jit,
     static_argnames=("fft_len", "sr", "hf_damping", "pre_delay_ms",
-                     "wet_gain_db"),
+                     "wet_gain_db", "aligned"),
 )
 def wet_response(
     reverberance: jnp.ndarray,
@@ -102,38 +102,57 @@ def wet_response(
     hf_damping: float = 50.0,
     pre_delay_ms: float = 20.0,
     wet_gain_db: float = 0.0,
+    aligned: bool = False,
 ) -> jnp.ndarray:
     """(B,) params -> (B, fft_len//2+1) complex64 wet-path transfer function.
 
     fft_len must be a power of two (z^-N phases are computed as exact
     integer products mod fft_len, relying on wrapping int32 arithmetic
     being exact mod 2^32).
+
+    ``aligned=True`` returns the pair ``(H[:, :fft_len//2], H[:, fft_len//2])``
+    — the same response split into a lane-ALIGNED width-n/2 array plus the
+    Nyquist column (B, 1). The default (n/2 + 1)-wide layout has an odd
+    last dimension that knocks every elementwise op off the 128-lane
+    tiling grid; on TPU that costs more than the comb math itself
+    (measured via ops/mxu_fft.py), so the FFT-filter path consumes the
+    aligned pair instead.
     """
     assert fft_len & (fft_len - 1) == 0, "fft_len must be a power of two"
-    n_bins = fft_len // 2 + 1
     damp = hf_damping / 100.0 * 0.3 + 0.2
-    k = jnp.arange(n_bins, dtype=jnp.int32)
-    w = 2.0 * jnp.pi * k.astype(jnp.float32) / fft_len
-    z1 = jax.lax.complex(jnp.cos(w), -jnp.sin(w))
-    denom_lp = 1.0 - damp * z1  # (F,)
-    static = jnp.asarray(
-        _static_response(fft_len, sr, pre_delay_ms, wet_gain_db))
-
+    static_np = _static_response(fft_len, sr, pre_delay_ms, wet_gain_db)
     fb = feedback_of(reverberance).astype(jnp.float32)  # (B,)
     sizes = comb_sizes(room_scale, sr)  # (B, 8)
 
-    def one_row(fb_i, ns):
-        h = jnp.zeros(n_bins, jnp.complex64)
-        for i in range(COMB_LENGTHS.size):
-            # exact phase: (k*N) mod fft_len survives int32 wraparound
-            # because fft_len is a power of two dividing 2^32
-            kn = (k * ns[i]) & (fft_len - 1)
-            ang = 2.0 * jnp.pi * kn.astype(jnp.float32) / fft_len
-            zn = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))
-            h = h + zn * denom_lp / (denom_lp - (fb_i * (1.0 - damp)) * zn)
-        return h
+    def eval_grid(k, static):
+        # k: (F,) int32 bin indices; static: (F,) complex64
+        w = 2.0 * jnp.pi * k.astype(jnp.float32) / fft_len
+        z1 = jax.lax.complex(jnp.cos(w), -jnp.sin(w))
+        denom_lp = 1.0 - damp * z1  # (F,)
 
-    return jax.vmap(one_row)(fb, sizes) * static[None, :]
+        def one_row(fb_i, ns):
+            h = jnp.zeros(k.shape, jnp.complex64)
+            for i in range(COMB_LENGTHS.size):
+                # exact phase: (k*N) mod fft_len survives int32 wraparound
+                # because fft_len is a power of two dividing 2^32
+                kn = (k * ns[i]) & (fft_len - 1)
+                ang = 2.0 * jnp.pi * kn.astype(jnp.float32) / fft_len
+                zn = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))
+                h = h + zn * denom_lp / (
+                    denom_lp - (fb_i * (1.0 - damp)) * zn)
+            return h
+
+        return jax.vmap(one_row)(fb, sizes) * static[None, :]
+
+    if not aligned:
+        k = jnp.arange(fft_len // 2 + 1, dtype=jnp.int32)
+        return eval_grid(k, jnp.asarray(static_np))
+    # lane-aligned width-n/2 main grid + the lone Nyquist bin separately
+    k_main = jnp.arange(fft_len // 2, dtype=jnp.int32)
+    main = eval_grid(k_main, jnp.asarray(static_np[:-1]))
+    nyq = eval_grid(jnp.asarray([fft_len // 2], jnp.int32),
+                    jnp.asarray(static_np[-1:]))
+    return main, nyq
 
 
 def decay_samples(reverberance, room_scale, sr: int, db: float = 60.0):
@@ -178,6 +197,7 @@ def reverb_batch(
     sr: int,
     ir_seconds: float = 1.5,
     wet_only: bool = False,
+    use_mxu_fft: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Apply sox-semantics reverb to a (B, L) batch; returns (out, new_len).
 
@@ -190,14 +210,38 @@ def reverb_batch(
     contamination is exactly the IR tail beyond ``fft_len - L`` samples,
     below the level the old truncation discarded. The static buffer
     truncates any tail beyond L.
+
+    ``use_mxu_fft`` routes the two big transforms through the radix-split
+    MXU matmul FFT (ops/mxu_fft.py) instead of XLA's native FFT, which
+    runs at a flat ~0.3 TFLOP/s on TPU; default is on for TPU backends,
+    off elsewhere (pocketfft beats matmuls on CPU).
     """
     b, l = wave.shape
     ir_len = int(ir_seconds * sr)
     # pow2 conv length (non-pow2 rFFTs lower to dense DFT matmuls on TPU)
     fft_len = 1 << (l + ir_len - 1).bit_length()
-    h = wet_response(reverberance, room_scale, fft_len, sr)
-    xf = jnp.fft.rfft(wave, fft_len, axis=-1)
-    wet = jnp.fft.irfft(xf * h, fft_len, axis=-1)[..., :l]
+    if use_mxu_fft is None:
+        from freesound_classification_tpu.ops.pallas_kernels import _on_tpu
+
+        use_mxu_fft = _on_tpu()
+    if use_mxu_fft:
+        from freesound_classification_tpu.ops import mxu_fft
+
+        h_main, h_nyq = wet_response(
+            reverberance, room_scale, fft_len, sr, aligned=True)
+        if b % 2:  # pair packing needs an even row count
+            wave_p = jnp.pad(wave, ((0, 1), (0, 0)))
+            h_main = jnp.pad(h_main, ((0, 1), (0, 0)))
+            h_nyq = jnp.pad(h_nyq, ((0, 1), (0, 0)))
+            wet = mxu_fft.real_filter_pow2_pairs(
+                wave_p, h_main, h_nyq, fft_len)[:b, :l]
+        else:
+            wet = mxu_fft.real_filter_pow2_pairs(
+                wave, h_main, h_nyq, fft_len)[..., :l]
+    else:
+        h = wet_response(reverberance, room_scale, fft_len, sr)
+        xf = jnp.fft.rfft(wave, fft_len, axis=-1)
+        wet = jnp.fft.irfft(xf * h, fft_len, axis=-1)[..., :l]
     out = wet if wet_only else wave + wet
     tail = decay_samples(reverberance, room_scale, sr)
     new_len = jnp.minimum(lengths + tail, l)

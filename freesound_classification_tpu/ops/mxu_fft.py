@@ -1,0 +1,307 @@
+"""Power-of-two FFTs as MXU matmul stages (radix-split Cooley-Tukey).
+
+Why: XLA's native TPU FFT runs at a flat ~0.3 TFLOP/s effective at every
+size 2^13..2^19 (measured, ROADMAP.md) — the freeverb wet convolution
+(ops/freeverb.py, the TPU rebuild of the reference's sox reverb at
+/root/reference/ops/transforms.py:96-101) spends ~23 ms of the train step
+in two 2^19-point transforms over 64 rows. This module re-expresses those
+transforms as a small number of <=128-point DFT *matmuls* (MXU work) plus
+twiddle multiplies and transposes (bandwidth work):
+
+    N = r1 * r2 * ... * rm,  each r <= 128
+    cost ~= N * (r1 + ... + rm) complex MACs     (N*272 for 2^18 vs the
+    naive N^2, or the N*1536 of a two-factor split)
+
+- ``cfft_last`` — complex FFT over the last axis by recursive four-step
+  splitting: reshape (n2, n1), FFT the n2 axis, twiddle W_n^{n1*k2}, FFT
+  the n1 axis, transpose-flatten. Sub-FFTs of length <= 128 are direct
+  DFT-matrix einsums.
+- ``rfft_pow2`` / ``irfft_pow2`` — real transforms via the half-length
+  complex-packing trick: pack even/odd samples into a complex signal of
+  length N/2, one complex FFT, then an O(N) untangle. Halves the matmul
+  work relative to a complex FFT of length N.
+
+All DFT/twiddle matmuls run at ``precision=HIGHEST``: Mosaic/XLA f32 dots
+default to ONE bf16 MXU pass (~0.4% error — the r2 phase-vocoder garbage,
+CLAUDE.md), which would put a correlated ~-60 dB error floor under the
+reverb tail. At HIGHEST the transform matches jnp.fft to ~1e-6 relative
+(tests/test_mxu_fft.py) and the matmul FLOPs are still far below the
+bandwidth cost of the passes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_RADIX_MAX = 128
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_matrix(n: int) -> np.ndarray:
+    """(n, n) complex64 DFT matrix D[j, k] = exp(-2i pi j k / n)."""
+    j = np.arange(n)
+    return np.exp(-2j * np.pi * np.outer(j, j) / n).astype(np.complex64)
+
+
+@functools.lru_cache(maxsize=16)
+def _twiddle(n1: int, n2: int) -> np.ndarray:
+    """(n2, n1) complex64 twiddles W_{n1*n2}^{n1_idx * k2}."""
+    k2 = np.arange(n2)[:, None]
+    n1_idx = np.arange(n1)[None, :]
+    return np.exp(-2j * np.pi * k2 * n1_idx / (n1 * n2)).astype(np.complex64)
+
+
+def _factor(n: int):
+    """Radix factorization of pow2 n, slowest digit first, radices <= 128
+    with any small remainder as the slowest digit: 2^18 -> (16, 128, 128)."""
+    fast = []
+    while n > _RADIX_MAX:
+        fast.append(_RADIX_MAX)
+        n //= _RADIX_MAX
+    fast.append(n)
+    return tuple(fast[::-1])
+
+
+@functools.lru_cache(maxsize=16)
+def _stage_twiddle(radices: tuple, i: int) -> np.ndarray:
+    """Twiddle applied after stage i (0-indexed) of the mixed-radix FFT:
+    shape (r_0, ..., r_i, r_{i+1}), angle -2 pi K_i f / (prod_{l<=i} r_l *
+    r_{i+1}) where K_i = sum_j k_j * prod_{l<j} r_l (digit-major weights)."""
+    done = radices[: i + 1]
+    nxt = radices[i + 1]
+    k = np.zeros(done, dtype=np.float64)
+    weight = 1
+    for j, r in enumerate(done):
+        shape = [1] * len(done)
+        shape[j] = r
+        k = k + np.arange(r).reshape(shape) * weight
+        weight *= r
+    f = np.arange(nxt)
+    ang = -2.0 * np.pi * k[..., None] * f / (weight * nxt)
+    return np.exp(1j * ang).astype(np.complex64)
+
+
+def cfft_last(x: jnp.ndarray) -> jnp.ndarray:
+    """Complex FFT over the last axis. Length must be a power of two.
+
+    Iterative mixed-radix Cooley-Tukey: the length is split into digit
+    axes (slowest first), each stage replaces one digit axis by its DFT
+    via an in-place einsum (contraction over a non-minor axis folds into
+    the matmul — no standalone transpose, the relayout killer on TPU),
+    twiddles broadcast over the remaining fast digits, and a single
+    digit-reversal transpose at the end restores natural bin order.
+    """
+    n = x.shape[-1]
+    assert n & (n - 1) == 0, "power-of-two lengths only"
+    if n <= _RADIX_MAX:
+        return jnp.einsum(
+            "...j,jk->...k", x, jnp.asarray(_dft_matrix(n)),
+            precision=_HIGHEST)
+    radices = _factor(n)
+    p = len(radices)
+    batch = x.shape[:-1]
+    a = x.reshape(*batch, *radices)
+    # subscript letters for the digit axes
+    letters = "abcdefgh"[:p]
+    for i in range(p):
+        sub = f"...{letters},{letters[i]}z->...{letters.replace(letters[i], 'z')}"
+        a = jnp.einsum(sub, a, jnp.asarray(_dft_matrix(radices[i])),
+                       precision=_HIGHEST)
+        if i < p - 1:
+            tw = jnp.asarray(_stage_twiddle(radices, i))
+            # broadcast over the not-yet-transformed digits after f_{i+1}
+            a = a * tw.reshape(tw.shape + (1,) * (p - i - 2))
+    # output digit k_j has weight prod_{l<j} r_l: natural order = reversed
+    # digit axes, fastest output digit (largest weight) slowest axis
+    nb = len(batch)
+    perm = tuple(range(nb)) + tuple(nb + j for j in reversed(range(p)))
+    return a.transpose(perm).reshape(*batch, n)
+
+
+def _icfft_last(x: jnp.ndarray) -> jnp.ndarray:
+    """Unnormalized inverse complex FFT via the conjugation identity."""
+    return jnp.conj(cfft_last(jnp.conj(x)))
+
+
+@functools.lru_cache(maxsize=16)
+def _half_twiddle(n: int) -> np.ndarray:
+    """(n//2 + 1,) complex64: exp(-2i pi k / n) for the rfft untangle."""
+    k = np.arange(n // 2 + 1)
+    return np.exp(-2j * np.pi * k / n).astype(np.complex64)
+
+
+def rfft_pow2(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """rfft over the last axis, zero-padded/truncated to length n (pow2).
+
+    Matches jnp.fft.rfft(x, n): returns (..., n//2 + 1) complex64.
+    """
+    assert n & (n - 1) == 0 and n >= 4
+    l = x.shape[-1]
+    if l < n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - l)])
+    elif l > n:
+        x = x[..., :n]
+    h = n // 2
+    # pack even/odd samples into a half-length complex signal
+    z = x.reshape(*x.shape[:-1], h, 2)
+    z = jax.lax.complex(z[..., 0], z[..., 1])
+    zf = cfft_last(z)  # (..., h)
+    # untangle: X[k] = E[k] + W_n^k O[k], E/O from Z and conj(Z[-k])
+    zrev = jnp.roll(jnp.flip(zf, axis=-1), 1, axis=-1)  # Z[(h - k) mod h]
+    zf1 = jnp.concatenate([zf, zf[..., :1]], axis=-1)  # k = 0..h
+    zrev1 = jnp.concatenate([zrev, zrev[..., :1]], axis=-1)
+    e = 0.5 * (zf1 + jnp.conj(zrev1))
+    o = -0.5j * (zf1 - jnp.conj(zrev1))
+    return e + jnp.asarray(_half_twiddle(n)) * o
+
+
+def real_filter_pow2(x: jnp.ndarray, h_bins: jnp.ndarray, n: int
+                     ) -> jnp.ndarray:
+    """Fused ``irfft(rfft(x, n) * H, n)`` for real rows x and per-row
+    transfer functions H (``h_bins``: (..., n//2 + 1) complex).
+
+    Why not rfft_pow2 -> multiply -> irfft_pow2: the rfft untangle and
+    irfft retangle materialize (n//2 + 1)-wide spectra, and that odd last
+    dimension knocks every subsequent op off the 128-lane tiling grid —
+    measured 9.5 ms for rfft_pow2 at (64, 2^19) where the underlying
+    half-length complex FFT is 2.3 ms. Composing untangle, filter, and
+    retangle algebraically gives a pointwise two-term form on ALIGNED
+    width-n/2 arrays:
+
+        Z' = alpha * Z + beta * conj(Z[(h - k) mod h]),   h = n/2
+        alpha = (Hk (1 - iW)(1 + iW~) + Hf~ (1 + iW)(1 - iW~)) / 4
+        beta  = (Hk (1 + iW)(1 + iW~) + Hf~ (1 - iW)(1 - iW~)) / 4
+
+    with W[k] = exp(-2i pi k / n), Hk = H[k], Hf = H[h - k], ~ = conj.
+    The DC/Nyquist bins of H are projected to their real parts (the
+    numpy irfft convention for a real signal's spectrum).
+    """
+    assert h_bins.shape[-1] == n // 2 + 1, "expected n//2 + 1 filter bins"
+    return real_filter_pow2_aligned(
+        x, h_bins[..., : n // 2], h_bins[..., n // 2:], n)
+
+
+def real_filter_pow2_aligned(x: jnp.ndarray, h_main: jnp.ndarray,
+                             h_nyq: jnp.ndarray, n: int) -> jnp.ndarray:
+    """real_filter_pow2 with the filter given as a lane-aligned pair:
+    ``h_main`` (..., n//2) = H[0 .. n//2-1] and ``h_nyq`` (..., 1) = H[n//2]
+    (the layout freeverb.wet_response(aligned=True) produces — odd-width
+    spectra never touch the hot path)."""
+    assert n & (n - 1) == 0 and n >= 4
+    assert h_main.shape[-1] == n // 2 and h_nyq.shape[-1] == 1
+    l = x.shape[-1]
+    if l < n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - l)])
+    elif l > n:
+        x = x[..., :n]
+    h = n // 2
+    z = x.reshape(*x.shape[:-1], h, 2)
+    z = jax.lax.complex(z[..., 0], z[..., 1])
+    zf = cfft_last(z)
+    zflip = jnp.conj(jnp.roll(jnp.flip(zf, axis=-1), 1, axis=-1))
+
+    # aligned width-h views of H with real DC/Nyquist bins
+    hk = jnp.concatenate(
+        [jnp.real(h_main[..., :1]).astype(h_main.dtype), h_main[..., 1:]],
+        axis=-1)
+    hf = jnp.concatenate(
+        [jnp.real(h_nyq).astype(h_nyq.dtype),
+         jnp.flip(h_main[..., 1:], axis=-1)],
+        axis=-1)
+    w = jnp.asarray(_half_twiddle(n)[:h])
+    iw = 1j * w
+    iwc = 1j * jnp.conj(w)
+    a_coef = (hk * (1 - iw) * (1 + iwc)
+              + jnp.conj(hf) * (1 + iw) * (1 - iwc)) * 0.25
+    b_coef = (hk * (1 + iw) * (1 + iwc)
+              + jnp.conj(hf) * (1 - iw) * (1 - iwc)) * 0.25
+    zp = a_coef * zf + b_coef * zflip
+    zt = _icfft_last(zp) / h
+    out = jnp.stack([jnp.real(zt), jnp.imag(zt)], axis=-1)
+    return out.reshape(*x.shape[:-1], n).astype(jnp.float32)
+
+
+def real_filter_pow2_pairs(x: jnp.ndarray, h_main: jnp.ndarray,
+                           h_nyq: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Per-row real FFT filtering via batch-row pairing: rows (2r, 2r+1)
+    become ONE full-length complex signal x[2r] + i x[2r+1].
+
+    Equivalent to real_filter_pow2_aligned but faster on TPU: row packing
+    strides the UNTILED batch dimension (free) where sample packing
+    interleaves lanes (measured 1.4 ms pack + 3.7 ms unpack at
+    (64, 2^19)), and the two-for-one trick replaces the untangle/retangle
+    coefficient algebra with a plain A/B separation. x: (B, L) real, B
+    even (odd B: caller pads a row); h_main (B, n//2), h_nyq (B, 1)
+    per-row transfer functions as produced by
+    freeverb.wet_response(aligned=True).
+    """
+    assert n & (n - 1) == 0 and n >= 4
+    b, l = x.shape
+    assert b % 2 == 0, "pair packing needs an even number of rows"
+    assert h_main.shape[-1] == n // 2 and h_nyq.shape[-1] == 1
+    if l < n:
+        x = jnp.pad(x, ((0, 0), (0, n - l)))
+    elif l > n:
+        x = x[..., :n]
+    h = n // 2
+    z = jax.lax.complex(x[0::2], x[1::2])  # (B/2, n)
+    zf = cfft_last(z)
+    # conj(Z[-k]): Z[(n - k) mod n], conjugated
+    zrevc = jnp.conj(jnp.roll(jnp.flip(zf, axis=-1), 1, axis=-1))
+    # separate the two rows' spectra on the aligned half grid k in [0, h)
+    a = 0.5 * (zf[..., :h] + zrevc[..., :h])      # rfft of even rows
+    bb = -0.5j * (zf[..., :h] - zrevc[..., :h])   # rfft of odd rows
+    # per-row filters (real DC bin per the real-filter convention)
+    def _real_dc(hm):
+        return jnp.concatenate(
+            [jnp.real(hm[..., :1]).astype(hm.dtype), hm[..., 1:]], axis=-1)
+
+    he = _real_dc(h_main[0::2])
+    ho = _real_dc(h_main[1::2])
+    y1 = a * he
+    y2 = bb * ho
+    # Nyquist bin: A[h] = Re Z[h], B[h] = Im Z[h] (Z[-h] = Z[h])
+    znyq = zf[..., h : h + 1]
+    y1n = jnp.real(znyq) * jnp.real(h_nyq[0::2])
+    y2n = jnp.imag(znyq) * jnp.real(h_nyq[1::2])
+    ynyq = jax.lax.complex(y1n, y2n)
+    # rebuild the full filtered spectrum Y[k] = A H_e + i B H_o, using
+    # Y[n - k] = conj(Y1[k]) + i conj(Y2[k]) = conj(Y1 - i Y2)[k]
+    yp = y1 + 1j * y2                       # bins [0, h)
+    ym = jnp.conj(y1 - 1j * y2)
+    q = jnp.roll(jnp.flip(ym, axis=-1), 1, axis=-1)  # q[m] = ym[h - m]
+    q = jnp.concatenate([ynyq, q[..., 1:]], axis=-1)  # bin h at m = 0
+    yfull = jnp.concatenate([yp, q], axis=-1)  # (B/2, n), both halves aligned
+    zt = _icfft_last(yfull) / n
+    # even rows = real part, odd rows = imaginary part; the stack rides the
+    # untiled row dimension
+    out = jnp.stack([jnp.real(zt), jnp.imag(zt)], axis=1)
+    return out.reshape(b, n).astype(jnp.float32)
+
+
+def irfft_pow2(xf: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Inverse of rfft_pow2: (..., n//2 + 1) complex -> (..., n) real f32.
+
+    Matches jnp.fft.irfft(xf, n).
+    """
+    assert n & (n - 1) == 0 and n >= 4
+    assert xf.shape[-1] == n // 2 + 1, "expected n//2 + 1 rfft bins"
+    h = n // 2
+    # numpy irfft convention: the DC and Nyquist bins of a real signal's
+    # spectrum are real — discard any imaginary part they carry
+    edges = jnp.real(xf[..., [0, -1]]).astype(xf.dtype)
+    xf = jnp.concatenate([edges[..., :1], xf[..., 1:-1], edges[..., 1:]],
+                         axis=-1)
+    # retangle: rebuild the half-length complex spectrum
+    e = 0.5 * (xf[..., :-1] + jnp.conj(jnp.flip(xf[..., 1:], axis=-1)))
+    o = 0.5 * (xf[..., :-1] - jnp.conj(jnp.flip(xf[..., 1:], axis=-1)))
+    tw = jnp.conj(jnp.asarray(_half_twiddle(n)))[..., :h]
+    z = e + 1j * (tw * o)
+    zt = _icfft_last(z) / h  # (..., h) complex: even + i*odd samples
+    out = jnp.stack([jnp.real(zt), jnp.imag(zt)], axis=-1)
+    return out.reshape(*xf.shape[:-1], n).astype(jnp.float32)

@@ -145,3 +145,37 @@ class TestReverbBatch:
         e_early = (irs[:, :5000] ** 2).sum(axis=1)
         ratio = e_late / e_early
         assert ratio[1] > ratio[0] * 10
+
+
+class TestMxuFftPath:
+    def test_mxu_fft_path_matches_xla_fft_path(self):
+        """reverb_batch(use_mxu_fft=True) — the TPU default — must equal the
+        jnp.fft path (the two differ only in how the conv transforms are
+        computed; ops/mxu_fft.py)."""
+        sr = 44100
+        l = 16384
+        rng = np.random.RandomState(7)
+        wave = (rng.randn(3, l) * 0.1).astype(np.float32)
+        lengths = jnp.asarray([l, 12000, 5000], jnp.int32)
+        rev = jnp.asarray([40.0, 10.0, 49.0], jnp.float32)
+        room = jnp.asarray([40.0, 49.0, 5.0], jnp.float32)
+        out_x, len_x = freeverb.reverb_batch(
+            jnp.asarray(wave), lengths, rev, room, sr, use_mxu_fft=False)
+        out_m, len_m = freeverb.reverb_batch(
+            jnp.asarray(wave), lengths, rev, room, sr, use_mxu_fft=True)
+        np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_m))
+        err = np.max(np.abs(np.asarray(out_x) - np.asarray(out_m)))
+        assert err < 1e-4, err
+
+    def test_aligned_wet_response_matches_full(self):
+        sr = 44100
+        fft_len = 1 << 14
+        rev = jnp.asarray([30.0, 49.0], jnp.float32)
+        room = jnp.asarray([20.0, 45.0], jnp.float32)
+        full = np.asarray(freeverb.wet_response(rev, room, fft_len, sr))
+        main, nyq = freeverb.wet_response(rev, room, fft_len, sr,
+                                          aligned=True)
+        np.testing.assert_allclose(np.asarray(main), full[:, :-1],
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(nyq), full[:, -1:],
+                                   rtol=1e-6, atol=1e-8)
