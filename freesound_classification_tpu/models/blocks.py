@@ -76,13 +76,24 @@ class ConvLockedDropout(nn.Module):
 class ResnetBlock1d(nn.Module):
     """1x1 -> 3(pad 1) -> 1x1 conv residual block, BN+PReLU each (1d).
 
-    reference networks/classifiers.py:37-69. Input (B, T, C)."""
+    reference networks/classifiers.py:37-69. Input (B, T, C). With
+    ``fused_infer=True``, eval-mode forwards run the one-pass fused lane-roll
+    Pallas block (BN folded into conv weights, ops/pallas_resnet1d.py);
+    params and checkpoints are identical in both modes."""
 
     depth: int
     dtype: jnp.dtype = jnp.float32
+    fused_infer: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if (self.fused_infer and not train and not self.is_initializing()
+                and x.shape[-1] == self.depth):
+            from freesound_classification_tpu.ops.pallas_resnet1d import (
+                resnet_block_1d_infer,
+            )
+
+            return resnet_block_1d_infer(x, self.variables)
         identity = x
         h = nn.Conv(self.depth, (1,), dtype=self.dtype, name="conv1")(x)
         h = _bn(train, self.dtype, name="bn1")(h)
@@ -117,7 +128,11 @@ class ResnetBlock2d(nn.Module):
                 resnet_block_2d_infer,
             )
 
-            return resnet_block_2d_infer(x, self.variables)
+            # v2 transposed-layout Pallas kernel on TPU (1.76 vs XLA's
+            # 3.01 ms at the block0 bench shape); XLA folded twin off-TPU
+            # or when the image would not fit VMEM
+            return resnet_block_2d_infer(x, self.variables,
+                                         use_pallas_kernel=True)
         identity = x
         h = nn.Conv(self.depth, (1, 1), dtype=self.dtype, name="conv1")(x)
         h = _bn(train, self.dtype, name="bn1")(h)
@@ -138,6 +153,7 @@ class ConvBlock1d(nn.Module):
 
     depth: int
     dtype: jnp.dtype = jnp.float32
+    fused_infer: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -150,7 +166,9 @@ class ConvBlock1d(nn.Module):
         h = nn.max_pool(h, (wt,), strides=(wt,))
         h = _bn(train, self.dtype, name="bn_out")(h)
         h = PReLU(self.depth, name="prelu")(h)
-        return ResnetBlock1d(self.depth, self.dtype, name="resnet")(h, train)
+        return ResnetBlock1d(self.depth, self.dtype,
+                             fused_infer=self.fused_infer,
+                             name="resnet")(h, train)
 
 
 class ConvBlock2d(nn.Module):

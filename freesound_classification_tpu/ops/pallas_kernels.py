@@ -17,10 +17,18 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import custom_batching
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LOG_EPS = 1e-4
+
+
+def _merge_lead(axis_size: int, x, batched: bool):
+    """Fold a custom_vmap leading axis into the row/batch dim (axis 0)."""
+    if not batched:
+        x = jnp.broadcast_to(x[None], (axis_size, *x.shape))
+    return x.reshape(axis_size * x.shape[1], *x.shape[2:])
 
 _ROW_TILE = 256  # rows (= batch*time frames) per grid step
 
@@ -213,6 +221,31 @@ def _resample_pallas(wave: jnp.ndarray, factor: jnp.ndarray,
     return out.reshape(b, l_pad)[:, :l]
 
 
+@functools.lru_cache(maxsize=4)
+def _resample_vmappable(interpret: bool):
+    """Vmap-safe wrapper: jax's automatic pallas batching prepends a dim to
+    every operand, which breaks the 1-D SMEM ``factor`` block under Mosaic's
+    last-two-dims tiling rule (a (K, B) block is neither 8-divisible nor
+    equal to the array). Rows are independent, so vmap == flattening the
+    mapped axis into the batch dim — exactly what this custom_vmap rule
+    does (found via the fold-parallel train step, which vmaps the
+    augmenter over folds on one chip)."""
+
+    @custom_batching.custom_vmap
+    def fn(wave, factor):
+        return _resample_pallas(wave, factor, interpret=interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, wave, factor):  # noqa: ANN001
+        k = axis_size
+        b = wave.shape[1] if in_batched[0] else wave.shape[0]
+        out = fn(_merge_lead(k, wave, in_batched[0]),
+                 _merge_lead(k, factor, in_batched[1]))
+        return out.reshape(k, b, *out.shape[1:]), True
+
+    return fn
+
+
 def resample_linear_pallas(wave: jnp.ndarray, factor: jnp.ndarray
                            ) -> jnp.ndarray:
     """(B, L) x (B,) playback-rate change; gather-free Pallas kernel.
@@ -226,7 +259,7 @@ def resample_linear_pallas(wave: jnp.ndarray, factor: jnp.ndarray
             f"resample_linear_pallas supports factor <= {_RS_MAX_FACTOR}; "
             "use ops.augment.resample_rate, which falls back to the XLA "
             "path for out-of-domain factors")
-    return _resample_pallas(wave, factor, interpret=not _on_tpu())
+    return _resample_vmappable(not _on_tpu())(wave, factor)
 
 
 
@@ -422,11 +455,43 @@ def _pv_resynth(mag, dphi_in, phase0, rate, icos, isin, n_fft: int,
     return out[:, :t_out]
 
 
+@functools.lru_cache(maxsize=16)
+def _pv_resynth_vmappable(n_fft: int, t_out: int, interpret: bool):
+    """Vmap-safe PV resynthesis (same story as _resample_vmappable: the
+    1-D SMEM ``rate`` operand breaks under automatic pallas batching, and
+    rows are independent so the mapped axis folds into the batch dim).
+    ``icos``/``isin`` are the shared inverse-DFT bases — the kernel cannot
+    express per-row bases, so a batched basis is rejected."""
+
+    @custom_batching.custom_vmap
+    def fn(mag, dphi_in, phase0, rate, icos, isin):
+        return _pv_resynth(mag, dphi_in, phase0, rate, icos, isin,
+                           n_fft, t_out, interpret=interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, mag, dphi_in, phase0, rate,
+              icos, isin):  # noqa: ANN001
+        if in_batched[4] or in_batched[5]:
+            raise NotImplementedError(
+                "pv_resynth_pallas: per-batch inverse-DFT bases are not "
+                "supported under vmap (the bases are shared weights)")
+        k = axis_size
+        b = mag.shape[1] if in_batched[0] else mag.shape[0]
+        out = fn(_merge_lead(k, mag, in_batched[0]),
+                 _merge_lead(k, dphi_in, in_batched[1]),
+                 _merge_lead(k, phase0, in_batched[2]),
+                 _merge_lead(k, rate, in_batched[3]),
+                 icos, isin)
+        return out.reshape(k, b, *out.shape[1:]), True
+
+    return fn
+
+
 def pv_resynth_pallas(mag, dphi_in, phase0, rate, icos, isin, n_fft: int,
                       t_out: int):
     """Fused PV resynthesis; off-TPU runs interpreted (see ops/pv.py)."""
-    return _pv_resynth(mag, dphi_in, phase0, rate, icos, isin, n_fft,
-                       t_out, interpret=not _on_tpu())
+    return _pv_resynth_vmappable(n_fft, t_out, not _on_tpu())(
+        mag, dphi_in, phase0, rate, icos, isin)
 
 
 def mel_project_log_ri(

@@ -36,6 +36,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import custom_batching
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -238,6 +239,226 @@ def _vmem_estimate(h: int, w: int, c: int, k: int) -> int:
     )
 
 
+# ---------------------------------------------------------------------------
+# v2 kernel: transposed (C-on-sublanes, W-on-lanes) layout
+# ---------------------------------------------------------------------------
+#
+# The v1 flat-row kernel above is a measured NEGATIVE result: its 3x3 taps
+# are sublane slices at odd offsets, each forcing a whole-band relayout
+# (7.97 ms vs XLA's 3.12 at B=64, 64x215x64). v2 removes every relayout by
+# construction:
+# - activations live as (B, H, C, Wp): C on sublanes (pad to 16 for bf16
+#   DMA tiling), W on lanes (pad to a 128 multiple, >= W+1 zero lanes).
+#   HBM DMA slices are tile-aligned with NO channel padding waste (the v1
+#   NHWC alternative would have to pad C 64->128, doubling traffic).
+# - dh taps select a different H row — a leading-axis offset, free.
+# - dw taps are +-1 LANE rolls (pltpu.roll). With the zero lane padding,
+#   a circular roll is exactly SAME padding: roll(+1) wraps lane Wp-1
+#   (zero pad) into w=0's left halo; roll(-1) pulls lane W (zero pad)
+#   into w=W-1's right halo.
+# - a 4-slot ring buffer holds conv1 outputs pre-concatenated as
+#   (3C, Wp) tap rows [h1[g-1]; h1[g]; h1[g+1]], so conv2 is three
+#   (C, 3C) @ (3C, Wp) MXU dots per output row — contraction depth 3C.
+# Zero-padded weights keep pad SUBLANES inert (prelu(0)=0); the lane mask
+# re-zeroes pad LANES after each bias+PReLU so rolls keep reading zeros.
+# The ring is f32, not bf16: Mosaic's tpu.dynamic_rotate is "not
+# implemented ... with non-32-bit data" on v5e (hardware-measured), so
+# rolls happen in f32 and the operands cast to bf16 at the MXU dots.
+
+
+def _fused_t_kernel(h_dim, n_b, w1_ref, k2_ref, w3_ref, b1_ref, b2_ref,
+                    b3_ref, a1_ref, a2_ref, a3_ref, lmask_ref,
+                    x_hbm, out_hbm, xv, ring, yv, sems):
+    b = pl.program_id(0)
+    slot = jax.lax.rem(b, 2)
+    cp = w1_ref.shape[0]
+    wp = ring.shape[2]
+
+    def in_dma(i):
+        s = jax.lax.rem(i, 2)
+        return pltpu.make_async_copy(x_hbm.at[i], xv.at[s], sems.at[s, 0])
+
+    def out_dma(i):
+        s = jax.lax.rem(i, 2)
+        return pltpu.make_async_copy(yv.at[s], out_hbm.at[i], sems.at[s, 1])
+
+    @pl.when(b == 0)
+    def _():
+        in_dma(0).start()
+
+    @pl.when(b + 1 < n_b)
+    def _():
+        in_dma(b + 1).start()  # prefetch next image during compute
+
+    in_dma(b).wait()
+
+    @pl.when(b >= 2)
+    def _():
+        out_dma(b - 2).wait()  # this yv slot's previous write must be done
+
+    lmask = lmask_ref[:]  # (1, Wp)
+    zrow = jnp.zeros((cp, wp), ring.dtype)
+    ring[0, 0:cp] = zrow  # h1[-1] = 0 (top SAME halo for output row 0)
+    for h in range(h_dim + 1):
+        if h < h_dim:
+            t1 = jnp.dot(w1_ref[:], xv[slot, h],
+                         preferred_element_type=jnp.float32)
+            h1 = (_prelu(t1 + b1_ref[:], a1_ref[:]) * lmask).astype(
+                ring.dtype)
+            # h1[h] is the dh=-1 tap of row h+1, dh=0 of row h, dh=+1 of
+            # row h-1; slot g%4 is fully assembled right before its read
+            ring[(h + 1) % 4, 0:cp] = h1
+            ring[h % 4, cp:2 * cp] = h1
+            if h > 0:
+                ring[(h - 1) % 4, 2 * cp:3 * cp] = h1
+        else:
+            ring[(h_dim - 1) % 4, 2 * cp:3 * cp] = zrow  # h1[H] = 0
+        if h >= 1:
+            g = h - 1
+            r = ring[g % 4]  # (3cp, Wp) assembled taps, f32
+            rl = pltpu.roll(r, 1, 1).astype(jnp.bfloat16)
+            rm = r.astype(jnp.bfloat16)
+            # pltpu.roll requires shift >= 0: wp-1 is the circular -1
+            rr = pltpu.roll(r, wp - 1, 1).astype(jnp.bfloat16)
+            acc = jnp.dot(k2_ref[0], rl,
+                          preferred_element_type=jnp.float32)
+            acc += jnp.dot(k2_ref[1], rm, preferred_element_type=jnp.float32)
+            acc += jnp.dot(k2_ref[2], rr,
+                           preferred_element_type=jnp.float32)
+            h2 = (_prelu(acc + b2_ref[:], a2_ref[:]) * lmask).astype(
+                jnp.bfloat16)
+            t3 = jnp.dot(w3_ref[:], h2, preferred_element_type=jnp.float32)
+            res = xv[slot, g].astype(jnp.float32)
+            y = _prelu(t3 + b3_ref[:] + res, a3_ref[:]) * lmask
+            yv[slot, g] = y.astype(yv.dtype)
+
+    out_dma(b).start()
+
+    @pl.when(b == n_b - 1)
+    def _():
+        out_dma(b).wait()
+
+    @pl.when((b == n_b - 1) & (b >= 1))
+    def _():
+        out_dma(b - 1).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_pallas_t(xt, w1t, k2, w3t, b1, b2, b3, a1, a2, a3, lmask,
+                    interpret: bool = False):
+    """xt: (B, H, Cp, Wp) bf16, Cp a multiple of 16, Wp of 128, with >= 1
+    zero lane past W and zero pad sublanes. Returns (B, H, Cp, Wp) bf16."""
+    bsz, h_dim, cp, wp = xt.shape
+    assert cp % 16 == 0 and wp % 128 == 0
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fused_t_kernel, h_dim, bsz),
+        grid=(bsz,),
+        in_specs=[vm] * 10 + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((bsz, h_dim, cp, wp), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((2, h_dim, cp, wp), jnp.bfloat16),  # xv (dbl buf)
+            pltpu.VMEM((4, 3 * cp, wp), jnp.float32),      # tap-row ring
+            pltpu.VMEM((2, h_dim, cp, wp), jnp.bfloat16),  # yv (dbl buf)
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h_dim * wp * cp * (2 * cp + 9 * cp),
+            bytes_accessed=4 * bsz * h_dim * cp * wp,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_CAP + 2 * 1024 * 1024),
+        interpret=interpret,
+    )(w1t.astype(jnp.bfloat16), k2.astype(jnp.bfloat16),
+      w3t.astype(jnp.bfloat16),
+      b1.astype(jnp.float32), b2.astype(jnp.float32),
+      b3.astype(jnp.float32),
+      a1.astype(jnp.float32), a2.astype(jnp.float32),
+      a3.astype(jnp.float32), lmask.astype(jnp.float32), xt)
+    return out
+
+
+@functools.lru_cache(maxsize=2)
+def _fused_t_vmappable(interpret: bool):
+    """Vmap-safe v2 kernel. The fold-ensemble inference path
+    (training/ensemble.py, bench.py) vmaps the eval forward over stacked
+    per-fold PARAMS with a shared batch; JAX's automatic pallas batching
+    can't express that (and trips Mosaic on the manual-DMA specs), so:
+    - mapped WEIGHTS: statically unroll over folds — same kernel, K calls
+      (images are grid steps; a per-fold weight swap inside one grid is
+      not expressible without K-fold VMEM cost);
+    - mapped IMAGES only: fold the axis into the image batch dim (grid
+      steps are independent)."""
+
+    @custom_batching.custom_vmap
+    def fn(xt, w1t, k2, w3t, b1, b2, b3, a1, a2, a3, lmask):
+        return _fused_pallas_t(xt, w1t, k2, w3t, b1, b2, b3, a1, a2, a3,
+                               lmask, interpret=interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, *args):  # noqa: ANN001
+        if in_batched[0] and not any(in_batched[1:]):
+            xt = args[0]
+            bsz = xt.shape[1]
+            out = fn(xt.reshape(axis_size * bsz, *xt.shape[2:]), *args[1:])
+            return out.reshape(axis_size, bsz, *out.shape[1:]), True
+        outs = []
+        for i in range(axis_size):
+            sl = [a[i] if bb else a for a, bb in zip(args, in_batched)]
+            outs.append(fn(*sl))
+        return jnp.stack(outs), True
+
+    return fn
+
+
+def _vmem_estimate_t(h: int, w: int, c: int) -> int:
+    cp = -(-c // 16) * 16
+    wp = -(-(w + 1) // 128) * 128
+    return (
+        2 * 2 * 2 * h * cp * wp      # xv + yv, double-buffered bf16
+        + 4 * 4 * 3 * cp * wp        # ring f32 (bf16 rolls unimplemented)
+        + 4 * 3 * cp * wp * 3        # live f32 acc + rolled temps (rough)
+        + 2 * cp * cp * 5            # weights bf16
+    )
+
+
+def resnet_block_2d_infer_pallas_t(x, fp, interpret: bool = False):
+    """v2 fused block on (B, H, W, C) input; transposes to the kernel
+    layout at the boundary (two XLA relayout passes, ~56 MB each at the
+    block0 bench shape)."""
+    bsz, h, w, c = x.shape
+    cp = -(-c // 16) * 16
+    wp = -(-(w + 1) // 128) * 128
+    xt = jnp.transpose(x.astype(jnp.bfloat16), (0, 1, 3, 2))
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (0, cp - c), (0, wp - w)))
+
+    w2r = fp["w2"].reshape(3, 3, c, -1)
+
+    def seg(dh, dw):  # (K, C) -> (cp, cp), zero pad rows/cols inert
+        m = w2r[dh, dw].T
+        return jnp.pad(m, ((0, cp - m.shape[0]), (0, cp - m.shape[1])))
+
+    k2 = jnp.stack([
+        jnp.concatenate([seg(dh, dw) for dh in range(3)], axis=1)
+        for dw in range(3)
+    ])  # (3, cp, 3cp), dw-major, matching the ring's dh part order
+
+    def padw(m):
+        return jnp.pad(m, ((0, cp - m.shape[0]), (0, cp - m.shape[1])))
+
+    def padc(v):
+        return jnp.pad(v, (0, cp - v.shape[0]))[:, None]
+
+    lmask = (jnp.arange(wp) < w).astype(jnp.float32)[None, :]
+    out = _fused_t_vmappable(interpret)(
+        xt, padw(fp["w1"].T), k2, padw(fp["w3"].T),
+        padc(fp["b1"]), padc(fp["b2"]), padc(fp["b3"]),
+        padc(fp["a1"]), padc(fp["a2"]), padc(fp["a3"]), lmask)
+    return jnp.transpose(out[:, :, :c, :w], (0, 1, 3, 2)).astype(x.dtype)
+
+
 def resnet_block_2d_infer(x, variables, use_pallas_kernel: bool = False):
     """Eval-mode fused ResnetBlock2d forward. x: (B, H, W, C) -> same shape.
 
@@ -246,22 +467,26 @@ def resnet_block_2d_infer(x, variables, use_pallas_kernel: bool = False):
     faster than the unfused flax block on hardware (2.84 vs 3.04 ms at
     B=64, 64x215x64 bf16).
 
-    ``use_pallas_kernel=True`` routes to the one-pass Pallas kernel when it
-    fits VMEM. MEASURED NEGATIVE RESULT (v5e-1, same shape): the kernel is
+    ``use_pallas_kernel=True`` routes to the v2 transposed-layout Pallas
+    kernel when it fits VMEM (see the v2 section above).
+    ``use_pallas_kernel="v1"`` routes to the flat-row v1 kernel — a
+    MEASURED NEGATIVE RESULT kept for the record (v5e-1, same shape):
     numerically exact (corr 0.9999994 vs flax) but 7.97 ms vs XLA's
-    3.12 ms — the statically-shifted tap slices land at odd sublane
+    3.12 ms — its statically-shifted tap slices land at odd sublane
     offsets, and each triggers a whole-band relayout that costs more than
-    the HBM round trips the fusion saves. Fixing it needs a transposed
-    (C, positions) layout with lane-rotate taps; recorded in ROADMAP.md,
-    not pursued — XLA's conv path is already within ~1.5x of the
-    achievable floor at C=64 (50% lane utilization cap).
+    the HBM round trips the fusion saves. v2 is the transposed
+    (C, positions) rework ROADMAP.md called for: taps are lane rolls.
     """
     fp = fold_block_params(variables)
     bsz, h, w, c = x.shape
     k = fp["w1"].shape[1]
     if c != k:
         return resnet_block_2d_infer_xla(x, fp)
-    if not (use_pallas_kernel and _on_tpu()
+    if use_pallas_kernel and use_pallas_kernel != "v1":
+        if _on_tpu() and _vmem_estimate_t(h, w, c) <= _VMEM_CAP:
+            return resnet_block_2d_infer_pallas_t(x, fp)
+        return resnet_block_2d_infer_xla(x, fp)
+    if not (use_pallas_kernel == "v1" and _on_tpu()
             and _vmem_estimate(h, w, c, k) <= _VMEM_CAP):
         return resnet_block_2d_infer_xla(x, fp)
 

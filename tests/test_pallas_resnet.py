@@ -75,6 +75,64 @@ class TestFusedKernel:
         corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
         assert corr > 0.999, corr
 
+    @pytest.mark.parametrize("c,h,w", [(8, 6, 11), (16, 5, 7), (24, 3, 130)])
+    def test_v2_interpret_matches_flax_eval(self, c, h, w):
+        """v2 transposed-layout kernel (lane-roll taps) vs the flax block.
+        w=130 exercises the two-lane-tile roll carry path."""
+        x, block, variables = _init_block(c, h, w, seed=11)
+        ref = np.asarray(block.apply(variables, x, train=False))
+        fp = pallas_resnet.fold_block_params(variables)
+        out = np.asarray(
+            pallas_resnet.resnet_block_2d_infer_pallas_t(
+                x, fp, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=0.06, rtol=0.05)
+        corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+        assert corr > 0.999, corr
+
+    def test_v2_single_row_and_image(self):
+        """H=1 (both SAME halos zero) and B=1 (DMA drain edge)."""
+        c, h, w = 8, 1, 9
+        x, block, variables = _init_block(c, h, w, b=1, seed=13)
+        ref = np.asarray(block.apply(variables, x, train=False))
+        fp = pallas_resnet.fold_block_params(variables)
+        out = np.asarray(
+            pallas_resnet.resnet_block_2d_infer_pallas_t(
+                x, fp, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=0.06, rtol=0.05)
+
+    def test_v2_vmap_over_stacked_fold_params(self):
+        """The ensemble-inference path (training/ensemble.py) vmaps the
+        eval forward over stacked per-fold params with a shared batch;
+        the v2 kernel's custom_vmap rule must unroll to per-fold calls."""
+        c, h, w = 8, 4, 9
+        folds = []
+        for seed in (21, 22, 23):
+            x, block, variables = _init_block(c, h, w, seed=seed)
+            folds.append(pallas_resnet.fold_block_params(variables))
+        stacked = jax.tree.map(lambda *a: jnp.stack(a), *folds)
+        out_v = jax.vmap(
+            lambda fp: pallas_resnet.resnet_block_2d_infer_pallas_t(
+                x, fp, interpret=True))(stacked)
+        for i, fp in enumerate(folds):
+            ref = pallas_resnet.resnet_block_2d_infer_pallas_t(
+                x, fp, interpret=True)
+            np.testing.assert_allclose(np.asarray(out_v[i]),
+                                       np.asarray(ref), atol=1e-5)
+
+    def test_v2_vmap_over_images_folds_into_batch(self):
+        c, h, w = 8, 4, 9
+        x, block, variables = _init_block(c, h, w, b=4, seed=31)
+        fp = pallas_resnet.fold_block_params(variables)
+        x2 = x.reshape(2, 2, h, w, c)
+        out_v = jax.vmap(
+            lambda xx: pallas_resnet.resnet_block_2d_infer_pallas_t(
+                xx, fp, interpret=True))(x2)
+        ref = pallas_resnet.resnet_block_2d_infer_pallas_t(
+            x, fp, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out_v).reshape(4, h, w, c), np.asarray(ref),
+            atol=1e-5)
+
     def test_flax_fused_flag_routes_and_matches(self):
         c, h, w = 8, 6, 11
         x, _, variables = _init_block(c, h, w, seed=5)

@@ -85,6 +85,20 @@ def main() -> int:
     assert np.isfinite(a).all(), "non-finite augmented audio"
     print(f"SMOKE: augment chain ok  [{time.time()-t0:.0f}s]")
 
+    # 4b. Fold-vmapped augmenter (the multifold train path). JAX's automatic
+    # pallas batching breaks on the kernels' 1-D SMEM operands under Mosaic;
+    # the wrappers carry custom_vmap rules (ops/pallas_kernels.py) whose
+    # LOWERING only this hardware run can validate — CPU interpret mode was
+    # green while the chip raised "block shape ... divisible by 8 and 128".
+    wave2 = wave.reshape(2, 2, -1)
+    len2 = lengths.reshape(2, 2)
+    lab2 = jnp.zeros((2, 2, 80))
+    keys2 = jax.vmap(jax.random.PRNGKey)(jnp.arange(2, dtype=jnp.uint32))
+    vaug = jax.jit(jax.vmap(lambda w, ln, y, k: augmenter(w, ln, y, k, 1.0)))
+    vw, _, _ = vaug(wave2, len2, lab2, keys2)
+    assert np.isfinite(np.asarray(vw)).all(), "non-finite vmapped augment"
+    print(f"SMOKE: fold-vmapped augment ok  [{time.time()-t0:.0f}s]")
+
     # 5. Fused PV resynthesis numerics on HARDWARE vs the XLA middle
     # (interpret-mode CPU tests cannot catch Mosaic-lowering numeric bugs)
     import functools
@@ -190,6 +204,26 @@ def main() -> int:
     corr_b = float(np.corrcoef(ref_b.ravel(), out_b.ravel())[0, 1])
     assert corr_b > 0.999, f"fused resnet block corr {corr_b} vs flax"
     print(f"SMOKE: fused resnet block ok (corr {corr_b:.5f})  "
+          f"[{time.time()-t0:.0f}s]")
+
+    # 8b. Fused 1d resnet block (lane-roll taps, ops/pallas_resnet1d.py)
+    # vs the unfused flax block on chip — same Mosaic numerics rationale
+    from freesound_classification_tpu.models.blocks import ResnetBlock1d
+
+    x1d = jnp.asarray(rngx.randn(4, 430, 64).astype(np.float32) * 0.5
+                      ).astype(jnp.bfloat16)
+    blk1 = ResnetBlock1d(64, jnp.bfloat16)
+    vblk1 = blk1.init({"params": jax.random.PRNGKey(4)}, x1d, train=False)
+    blk1_fused = ResnetBlock1d(64, jnp.bfloat16, fused_infer=True)
+    ref_1 = np.asarray(jax.jit(
+        lambda v, x: blk1.apply(v, x, train=False))(vblk1, x1d),
+        dtype=np.float32)
+    out_1 = np.asarray(jax.jit(
+        lambda v, x: blk1_fused.apply(v, x, train=False))(vblk1, x1d),
+        dtype=np.float32)
+    corr_1 = float(np.corrcoef(ref_1.ravel(), out_1.ravel())[0, 1])
+    assert corr_1 > 0.999, f"fused 1d resnet block corr {corr_1} vs flax"
+    print(f"SMOKE: fused 1d resnet block ok (corr {corr_1:.5f})  "
           f"[{time.time()-t0:.0f}s]")
 
     print(f"SMOKE PASS  [{time.time()-t0:.0f}s total]")
