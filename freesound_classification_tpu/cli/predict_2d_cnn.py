@@ -79,7 +79,8 @@ def build_inference_engine(args, experiment, model_kind, fold, example_loader):
         bf16=getattr(args, "bf16", False),
         use_pallas=getattr(args, "use_pallas", False),
         # inference-only engine: fold BN into conv weights at eval
-        fused_infer=(model_kind == "2d_cnn"),
+        # (2d + 1d resnet-block families; ops/pallas_resnet{,1d}.py)
+        fused_infer=(model_kind in ("2d_cnn", "hierarchical_cnn")),
         mesh_devices=getattr(args, "mesh_devices", None),
         loss=(cfg.train._loss if "_loss" in cfg.train else "lsep_naive"),
         mixup_exact_add=False,

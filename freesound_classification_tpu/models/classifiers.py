@@ -135,6 +135,10 @@ class HierarchicalCNN(nn.Module):
     aggregation_type: str = "max"
     n_classes: int = 80
     dtype: jnp.dtype = jnp.float32
+    # eval-mode forwards use the one-pass fused lane-roll Pallas resnet
+    # block (ops/pallas_resnet1d.py); training/init paths are unaffected
+    # and the checkpoint layout is identical either way
+    fused_infer: bool = False
 
     @nn.compact
     def __call__(self, feats_ntc, frame_lengths, train: bool = False):
@@ -146,7 +150,9 @@ class HierarchicalCNN(nn.Module):
         h = feats_ntc.astype(self.dtype)
         lengths = frame_lengths
         for k, depth in enumerate(depths):
-            h = ConvBlock1d(depth, self.dtype, name=f"block{k}")(h, train)
+            h = ConvBlock1d(depth, self.dtype,
+                            fused_infer=self.fused_infer,
+                            name=f"block{k}")(h, train)
             lengths = jnp.maximum(lengths // 2, 1)
             h = mask_time(h, lengths)
             if k >= self.start_deep_supervision_on:
@@ -197,7 +203,7 @@ def build_classifier(model_kind: str, config, n_classes: int, dtype=jnp.float32,
     if model_kind == "2d_cnn":
         return TwoDimensionalCNN(fused_infer=fused_infer, **common)
     if model_kind == "hierarchical_cnn":
-        return HierarchicalCNN(**common)
+        return HierarchicalCNN(fused_infer=fused_infer, **common)
     if model_kind == "backbone_cnn":
         from freesound_classification_tpu.models.backbone import CNNBackbone
 
