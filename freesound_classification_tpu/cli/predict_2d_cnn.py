@@ -79,8 +79,8 @@ def build_inference_engine(args, experiment, model_kind, fold, example_loader):
         bf16=getattr(args, "bf16", False),
         use_pallas=getattr(args, "use_pallas", False),
         # inference-only engine: fold BN into conv weights at eval
-        # (2d + 1d resnet-block families; ops/pallas_resnet{,1d}.py)
-        fused_infer=(model_kind in ("2d_cnn", "hierarchical_cnn")),
+        # (all three families; ops/pallas_resnet{,1d}.py, pallas_backbone.py)
+        fused_infer=True,
         mesh_devices=getattr(args, "mesh_devices", None),
         loss=(cfg.train._loss if "_loss" in cfg.train else "lsep_naive"),
         mixup_exact_add=False,

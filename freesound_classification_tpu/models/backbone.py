@@ -23,14 +23,27 @@ from freesound_classification_tpu.models.blocks import (
 
 
 class BasicBlock(nn.Module):
-    """Standard resnet v1 basic block: 3x3 -> 3x3 with identity/projection."""
+    """Standard resnet v1 basic block: 3x3 -> 3x3 with identity/projection.
+
+    With ``fused_infer=True``, eval-mode stride-1 identity blocks run the
+    one-pass fused Pallas kernel (BN folded into conv weights,
+    ops/pallas_backbone.py); params and checkpoints are identical in both
+    modes (init, training, and projection/stride blocks take the unfused
+    or XLA-folded path)."""
 
     features: int
     strides: int = 1
     dtype: jnp.dtype = jnp.float32
+    fused_infer: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if (self.fused_infer and not train and not self.is_initializing()):
+            from freesound_classification_tpu.ops.pallas_backbone import (
+                basic_block_infer,
+            )
+
+            return basic_block_infer(x, self.variables, self.strides)
         residual = x
         h = nn.Conv(
             self.features, (3, 3), strides=(self.strides, self.strides),
@@ -63,6 +76,7 @@ class ResNetTrunk(nn.Module):
 
     stages: Sequence[int]
     dtype: jnp.dtype = jnp.float32
+    fused_infer: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -78,7 +92,9 @@ class ResNetTrunk(nn.Module):
             for b in range(n_blocks):
                 strides = 2 if (stage > 0 and b == 0) else 1
                 h = BasicBlock(
-                    features, strides, self.dtype, name=f"stage{stage}_block{b}"
+                    features, strides, self.dtype,
+                    fused_infer=self.fused_infer,
+                    name=f"stage{stage}_block{b}"
                 )(h, train)
         return h
 
@@ -91,13 +107,17 @@ class CNNBackbone(nn.Module):
     output_dropout: float = 0.0
     n_classes: int = 80
     dtype: jnp.dtype = jnp.float32
+    # eval-mode stride-1 blocks use the fused Pallas BasicBlock
+    # (ops/pallas_backbone.py); training/init paths are unaffected
+    fused_infer: bool = False
 
     @nn.compact
     def __call__(self, spec, frame_lengths, train: bool = False):
         # spec: (B, H, W, 1) log spectrogram
         x = jnp.repeat(spec.astype(self.dtype), 3, axis=-1)
         x = _bn(train, self.dtype, name="input_norm")(x)
-        h = ResNetTrunk(RESNET_STAGES[self.arch], self.dtype, name="trunk")(
+        h = ResNetTrunk(RESNET_STAGES[self.arch], self.dtype,
+                        fused_infer=self.fused_infer, name="trunk")(
             x, train
         )
         # trunk downsamples time by 32 (conv1 2x, maxpool 2x, stages 2-4: 8x)

@@ -212,5 +212,6 @@ def build_classifier(model_kind: str, config, n_classes: int, dtype=jnp.float32,
             output_dropout=float(config.output_dropout),
             n_classes=n_classes,
             dtype=dtype,
+            fused_infer=fused_infer,
         )
     raise ValueError(f"unknown model kind {model_kind!r}")

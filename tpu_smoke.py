@@ -226,6 +226,26 @@ def main() -> int:
     print(f"SMOKE: fused 1d resnet block ok (corr {corr_1:.5f})  "
           f"[{time.time()-t0:.0f}s]")
 
+    # 8c. Fused backbone BasicBlock (two-ring pipeline,
+    # ops/pallas_backbone.py) vs the unfused flax block on chip
+    from freesound_classification_tpu.models.backbone import BasicBlock
+
+    xbb = jnp.asarray(rngx.randn(4, 32, 108, 64).astype(np.float32) * 0.5
+                      ).astype(jnp.bfloat16)
+    bbk = BasicBlock(64, dtype=jnp.bfloat16)
+    vbb = bbk.init({"params": jax.random.PRNGKey(5)}, xbb, train=False)
+    bbk_fused = BasicBlock(64, dtype=jnp.bfloat16, fused_infer=True)
+    ref_bb = np.asarray(jax.jit(
+        lambda v, x: bbk.apply(v, x, train=False))(vbb, xbb),
+        dtype=np.float32)
+    out_bb = np.asarray(jax.jit(
+        lambda v, x: bbk_fused.apply(v, x, train=False))(vbb, xbb),
+        dtype=np.float32)
+    corr_bb = float(np.corrcoef(ref_bb.ravel(), out_bb.ravel())[0, 1])
+    assert corr_bb > 0.999, f"fused BasicBlock corr {corr_bb} vs flax"
+    print(f"SMOKE: fused backbone BasicBlock ok (corr {corr_bb:.5f})  "
+          f"[{time.time()-t0:.0f}s]")
+
     print(f"SMOKE PASS  [{time.time()-t0:.0f}s total]")
     return 0
 
