@@ -253,8 +253,10 @@ def _dft_basis(n_fft: int, hop_size: int):
             sin_b.reshape(m, hop_size, n_bins))
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop_size"))
-def stft_spectrum_dft(x: jnp.ndarray, n_fft: int, hop_size: int):
+@functools.partial(jax.jit,
+                   static_argnames=("n_fft", "hop_size", "precision"))
+def stft_spectrum_dft(x: jnp.ndarray, n_fft: int, hop_size: int,
+                      precision: str = "high"):
     """(re, im) one-sided spectra of (..., L) -> each (..., T, F).
 
     MXU formulation of the windowed STFT: center-reflect pad, view the
@@ -263,7 +265,10 @@ def stft_spectrum_dft(x: jnp.ndarray, n_fft: int, hop_size: int):
     matmuls, never materializing frames (the gather/concat framing was the
     dominant featurization cost on TPU). ``precision="high"`` (bf16 3-pass)
     keeps ~1e-6 relative accuracy vs the f32 rFFT path at ~2x the speed of
-    full-f32 matmuls.
+    full-f32 matmuls; ``precision="default"`` is ONE bf16 MXU pass
+    (~3x the high-precision throughput, ~4e-3 relative spectrum error) —
+    appropriate whenever the consumer quantizes to bf16 anyway, as every
+    bf16 model in this framework does at its input cast.
     """
     pad = n_fft // 2
     pad_width = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
@@ -291,9 +296,11 @@ def stft_spectrum_dft(x: jnp.ndarray, n_fft: int, hop_size: int):
     for o in range(m):
         view = blocks[..., o : o + n_frames, :]
         c = jnp.einsum("...th,hf->...tf", view, jnp.asarray(cos_b[o]),
-                       precision="high")
+                       precision=precision,
+                       preferred_element_type=jnp.float32)
         s = jnp.einsum("...th,hf->...tf", view, jnp.asarray(sin_b[o]),
-                       precision="high")
+                       precision=precision,
+                       preferred_element_type=jnp.float32)
         re = c if re is None else re + c
         im = s if im is None else im + s
     return re, im
@@ -331,12 +338,14 @@ def compute_stft_descriptor(x: jnp.ndarray, descriptor: str) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop_size"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_fft", "hop_size", "precision"))
 def _logmel_xla(
-    x: jnp.ndarray, fb_t: jnp.ndarray, n_fft: int, hop_size: int
+    x: jnp.ndarray, fb_t: jnp.ndarray, n_fft: int, hop_size: int,
+    precision: str = "high"
 ) -> jnp.ndarray:
     if n_fft % hop_size == 0:
-        re, im = stft_spectrum_dft(x, n_fft, hop_size)
+        re, im = stft_spectrum_dft(x, n_fft, hop_size, precision=precision)
         mag = jnp.sqrt(re * re + im * im)  # (..., T, F)
     else:
         frames = frame_signal(x, n_fft, hop_size)
@@ -355,6 +364,7 @@ def log_mel_spectrogram(
     n_fft: int,
     hop_size: int,
     use_pallas: bool = False,
+    precision: str = "high",
 ) -> jnp.ndarray:
     """Waveform (..., L) -> log-mel (..., n_mels, T).
 
@@ -362,6 +372,9 @@ def log_mel_spectrogram(
     against the filterbank, networks/classifiers.py:574-578) and
     ``log(x + 1e-4)``. With ``use_pallas=True`` the magnitude+mel+log stage
     runs as a single Pallas TPU kernel (see pallas_kernels.mel_project_log).
+    ``precision`` controls the block-DFT matmuls (see stft_spectrum_dft):
+    "high" is the torch-parity oracle; "default" is the single-bf16-pass
+    fast path for bf16 consumers.
     """
     fb_t = jnp.asarray(filterbank).T  # (F, M)
     if use_pallas:
@@ -370,14 +383,15 @@ def log_mel_spectrogram(
         if n_fft % hop_size == 0:
             # feed the kernel split (re, im) — a complex64 round-trip here
             # hits UNIMPLEMENTED on the TPU runtime (round-1 regression)
-            re, im = stft_spectrum_dft(x, n_fft, hop_size)
+            re, im = stft_spectrum_dft(x, n_fft, hop_size,
+                                       precision=precision)
         else:
             frames = frame_signal(x, n_fft, hop_size)
             frames = frames * hann_window(n_fft, dtype=frames.dtype)
             spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
             re, im = jnp.real(spec), jnp.imag(spec)
         return pallas_kernels.mel_project_log_ri(re, im, fb_t)
-    return _logmel_xla(x, fb_t, n_fft, hop_size)
+    return _logmel_xla(x, fb_t, n_fft, hop_size, precision=precision)
 
 
 def log_stft_spectrogram(x: jnp.ndarray, n_fft: int, hop_size: int) -> jnp.ndarray:
@@ -394,6 +408,7 @@ def featurize(
     descriptor: str,
     filterbank: jnp.ndarray | None = None,
     use_pallas: bool = False,
+    precision: str = "high",
 ) -> jnp.ndarray:
     """Dispatch a waveform batch through the descriptor's featurizer.
 
@@ -405,7 +420,8 @@ def featurize(
         if filterbank is None:
             filterbank = jnp.asarray(make_mel_filterbanks(descriptor))
         return log_mel_spectrogram(
-            x, filterbank, feat.n_fft, feat.hop_size, use_pallas=use_pallas
+            x, filterbank, feat.n_fft, feat.hop_size, use_pallas=use_pallas,
+            precision=precision,
         )
     if feat.kind == "stft":
         return log_stft_spectrogram(x, feat.n_fft, feat.hop_size)
