@@ -56,7 +56,11 @@ def build_model_and_params(key):
         # measured ~7% faster resnet blocks on chip, exact parity tested
         fused_infer=True,
     )
-    frontend = Frontend(FEATURES, "2d", sr=SR, use_pallas=True)
+    # bf16 model: single-bf16-pass block-DFT (the model quantizes its
+    # input to bf16 regardless; logit corr vs the 3-pass oracle gated in
+    # tpu_smoke / scripts/probe_dft_precision.py)
+    frontend = Frontend(FEATURES, "2d", sr=SR, use_pallas=True,
+                        dft_precision="default")
     wave = jnp.zeros((4, 65536), jnp.float32)
     lengths = jnp.full((4,), 65536, jnp.int32)
     inputs, fl = frontend(wave, lengths)

@@ -204,6 +204,9 @@ def build_engine(args, experiment, model_kind: str, n_classes: int,
     frontend = Frontend(
         args.features, MODEL_FAMILY[model_kind], sr=SR,
         use_pallas=getattr(args, "use_pallas", False),
+        # bf16 models quantize their input anyway: run the block-DFT as a
+        # single bf16 MXU pass; f32 models keep the 3-pass parity mode
+        dft_precision="default" if dtype == jnp.bfloat16 else "high",
     )
     augment = make_augmenter(AugmentConfig(
         p_mixup=args.p_mixup,

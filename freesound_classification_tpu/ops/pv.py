@@ -62,6 +62,7 @@ def phase_vocoder_stretch(
     rate: jnp.ndarray,
     n_fft: int = 2048,
     hop: int = 512,
+    precision: str = "default",
 ):
     """Time-stretch each clip by per-sample ``rate`` (rate>1 -> shorter).
 
@@ -70,7 +71,14 @@ def phase_vocoder_stretch(
     beyond the kernel's supported domain (pallas_kernels._PV_MAX_RATE) falls
     back to XLA instead of silently synthesizing garbage. Traced rates
     cannot be checked; in-jit callers must stay in-domain (the augmentation
-    chain's rates are <= 1.19)."""
+    chain's rates are <= 1.19).
+
+    ``precision`` controls the analysis block-DFT matmuls. The default is
+    the single-bf16-pass MXU mode: ~4e-3 relative spectrum error feeding an
+    *audio augmentation* whose own artifacts dwarf it (rows the effects
+    chain leaves clean never see this output — augment.py:427), for ~3x the
+    analysis throughput. Pass "high" for the f32-parity oracle (CPU tests
+    are unaffected either way: precision is a no-op off-MXU)."""
     from freesound_classification_tpu.ops.pallas_kernels import (
         _PV_MAX_RATE,
         _PV_TILE_IN,
@@ -84,11 +92,13 @@ def phase_vocoder_stretch(
         _on_tpu() and t_in >= _PV_TILE_IN
         and static_bound_exceeded(rate, _PV_MAX_RATE) is not True
     )
-    return _pv_stretch_impl(wave, lengths, rate, n_fft, hop, use_kernel)
+    return _pv_stretch_impl(wave, lengths, rate, n_fft, hop, use_kernel,
+                            precision)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_fft", "hop", "use_kernel"))
+                   static_argnames=("n_fft", "hop", "use_kernel",
+                                    "precision"))
 def _pv_stretch_impl(
     wave: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -96,6 +106,7 @@ def _pv_stretch_impl(
     n_fft: int = 2048,
     hop: int = 512,
     use_kernel: bool = False,
+    precision: str = "default",
 ):
     """Phase-vocoder stretch body (see phase_vocoder_stretch for routing).
 
@@ -113,7 +124,8 @@ def _pv_stretch_impl(
     """
     b, l = wave.shape
 
-    re, im = stft_spectrum_dft(wave, n_fft, hop)  # (B, T, F) each
+    re, im = stft_spectrum_dft(wave, n_fft, hop,
+                               precision=precision)  # (B, T, F) each
     t_in = num_stft_frames(l, n_fft, hop)
     # synthesis frames that can contribute to the l-sample static buffer:
     # frame k covers output samples [k*hop - n_fft/2, ...); anything past

@@ -48,6 +48,20 @@ def main() -> int:
     assert np.isfinite(np.asarray(feats)).all(), "non-finite log-mel"
     print(f"SMOKE: pallas mel ok {feats.shape}  [{time.time()-t0:.0f}s]")
 
+    # 1b. Single-bf16-pass block-DFT (the bf16-model production path,
+    # dft_precision="default") vs the 3-pass oracle — a hardware-only
+    # difference (precision is a no-op on CPU), so gate it here
+    fe_fast = Frontend("mel_2048_1024_128", "2d", sr=44100, use_pallas=True,
+                       dft_precision="default")
+    feats_fast, _ = fe_fast(wave, lengths)
+    a1 = np.asarray(feats, np.float32).ravel()
+    a2 = np.asarray(feats_fast, np.float32).ravel()
+    assert np.isfinite(a2).all(), "non-finite fast-DFT log-mel"
+    corr_dft = float(np.corrcoef(a1, a2)[0, 1])
+    assert corr_dft > 0.999, f"fast-DFT logmel corr {corr_dft} vs oracle"
+    print(f"SMOKE: single-pass DFT ok (corr {corr_dft:.5f})  "
+          f"[{time.time()-t0:.0f}s]")
+
     # 2. Flagship model init + jit forward + device_get (bench init path)
     model = TwoDimensionalCNN(
         num_conv_blocks=6, start_deep_supervision_on=2, conv_base_depth=64,
