@@ -131,7 +131,8 @@ def main():
     timed(jax.jit(rfft_mag), wave, label="frame+rfft magnitude")
 
     # ---- model depth ablation -----------------------------------------
-    frontend = Frontend("mel_2048_1024_128", "2d", sr=SR, use_pallas=True)
+    frontend = Frontend("mel_2048_1024_128", "2d", sr=SR,
+                    use_pallas=True, dft_precision="default")
     inputs, fl = frontend(wave, lengths)
     jax.block_until_ready(inputs)
     print(f"inputs {inputs.shape}", flush=True)

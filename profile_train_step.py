@@ -97,7 +97,8 @@ def main():
     key = jax.random.PRNGKey(0)
     measure_rtt(lengths)
 
-    frontend = Frontend(FEATURES, "2d", sr=SR, use_pallas=True)
+    frontend = Frontend(FEATURES, "2d", sr=SR, use_pallas=True,
+                        dft_precision="default")
     model = TwoDimensionalCNN(
         num_conv_blocks=6, start_deep_supervision_on=2, conv_base_depth=64,
         growth_rate=1.5, aggregation_type="max", n_classes=N_CLASSES,
