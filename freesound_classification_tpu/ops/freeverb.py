@@ -155,6 +155,101 @@ def wet_response(
     return main, nyq
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("fft_len", "sr", "hf_damping", "pre_delay_ms",
+                     "wet_gain_db"),
+)
+def wet_response_split(
+    reverberance: jnp.ndarray,
+    room_scale: jnp.ndarray,
+    fft_len: int,
+    sr: int,
+    hf_damping: float = 50.0,
+    pre_delay_ms: float = 20.0,
+    wet_gain_db: float = 0.0,
+):
+    """wet_response(aligned=True) with hand-split re/im arithmetic and
+    outer-product phase generation. Returns f32 arrays
+    ``(h_main_re, h_main_im, h_nyq_re)`` of shapes (B, F), (B, F), (B, 1)
+    with F = fft_len//2 — exactly what real_filter_pairs_split_native
+    consumes, so no complex64 tensor exists anywhere on the reverb path.
+
+    Two wins over the complex evaluator (both measured motivations in
+    ops/mxu_fft.py's split-arithmetic note):
+    - XLA complex64 ops materialize re/im copies; split f32 fuses.
+    - Per-bin phases exp(-2i pi (k N) mod n / n) are generated as an EXACT
+      outer product over a (Q, K) factorization of the bin axis:
+      k = q K + r => W^{kN} = W^{(q K N) mod n} * W^{(r N) mod n}, so the
+      transcendental count drops from F per comb to Q + K (~256x at the
+      bench grid; the product of two unit-magnitude f32 complexes adds
+      ~1 ulp, vs the comb resonances' ~50x amplification this stays below
+      the f32 sincos error already present). Integer phase products rely
+      on wrapping int32 arithmetic being exact mod 2^32 (fft_len | 2^32).
+    """
+    assert fft_len & (fft_len - 1) == 0, "fft_len must be a power of two"
+    f_bins = fft_len // 2
+    damp = hf_damping / 100.0 * 0.3 + 0.2
+    static_np = _static_response(fft_len, sr, pre_delay_ms, wet_gain_db)
+    fb = feedback_of(reverberance).astype(jnp.float32)  # (B,)
+    sizes = comb_sizes(room_scale, sr)  # (B, 8)
+    mask = fft_len - 1
+
+    # (Q, K) factorization of the main grid; direct eval for tiny grids
+    kq_bits = max((f_bins.bit_length() - 1) // 2, 0)
+    k_fac = 1 << kq_bits
+    q_fac = f_bins // k_fac
+
+    def phases(ns):
+        """ns: (B, 8) comb lengths -> W^{k ns} split as the outer-product
+        factors (Aq_re, Aq_im) (B, 8, Q) x (Br_re, Br_im) (B, 8, K)."""
+        step_q = (ns * k_fac) & mask  # (B, 8)
+        q_idx = jnp.arange(q_fac, dtype=jnp.int32)
+        r_idx = jnp.arange(k_fac, dtype=jnp.int32)
+        kq = (step_q[..., None] * q_idx) & mask  # (B, 8, Q)
+        kr = (ns[..., None] * r_idx) & mask      # (B, 8, K)
+        aq = 2.0 * jnp.pi * kq.astype(jnp.float32) / fft_len
+        ar_ = 2.0 * jnp.pi * kr.astype(jnp.float32) / fft_len
+        return (jnp.cos(aq), -jnp.sin(aq)), (jnp.cos(ar_), -jnp.sin(ar_))
+
+    # z^-1 on the (Q, K) grid (no batch/comb axes): N = 1
+    ones = jnp.ones((1, 1), jnp.int32)
+    (z1qr, z1qi), (z1rr, z1ri) = phases(ones)
+    z1r = z1qr[0, 0, :, None] * z1rr[0, 0, None, :] \
+        - z1qi[0, 0, :, None] * z1ri[0, 0, None, :]
+    z1i = z1qr[0, 0, :, None] * z1ri[0, 0, None, :] \
+        + z1qi[0, 0, :, None] * z1rr[0, 0, None, :]
+    denr = 1.0 - damp * z1r  # denom_lp = 1 - damp z^-1, (Q, K)
+    deni = -damp * z1i
+
+    (aqr, aqi), (brr, bri) = phases(sizes)
+    c = (fb * (1.0 - damp))[:, None, None, None]  # (B, 1, 1, 1)
+    znr = aqr[..., None] * brr[..., None, :] - aqi[..., None] * bri[..., None, :]
+    zni = aqr[..., None] * bri[..., None, :] + aqi[..., None] * brr[..., None, :]
+    # sum over combs of zn * denom_lp / (denom_lp - c zn), (B, 8, Q, K)
+    numr = znr * denr - zni * deni
+    numi = znr * deni + zni * denr
+    ddr = denr - c * znr
+    ddi = deni - c * zni
+    inv = 1.0 / (ddr * ddr + ddi * ddi)
+    hr = jnp.sum((numr * ddr + numi * ddi) * inv, axis=1)  # (B, Q, K)
+    hi = jnp.sum((numi * ddr - numr * ddi) * inv, axis=1)
+    hr = hr.reshape(hr.shape[0], f_bins)
+    hi = hi.reshape(hi.shape[0], f_bins)
+    statr = jnp.asarray(np.ascontiguousarray(static_np[:-1].real))
+    stati = jnp.asarray(np.ascontiguousarray(static_np[:-1].imag))
+    out_r = hr * statr - hi * stati
+    out_i = hr * stati + hi * statr
+
+    # Nyquist bin (k = F): z^-1 = -1 exactly; z^-N = (-1)^N
+    sgn = jnp.where((sizes & 1) == 1, -1.0, 1.0)  # (B, 8)
+    dnyq = 1.0 + damp  # 1 - damp * (-1), purely real
+    hn = jnp.sum(sgn * dnyq / (dnyq - c[:, 0, 0, :] * sgn), axis=-1,
+                 keepdims=True)
+    out_n = hn * float(static_np[-1].real)
+    return out_r, out_i, out_n
+
+
 def decay_samples(reverberance, room_scale, sr: int, db: float = 60.0):
     """Per-row tail length: samples for the slowest comb to decay by ``db``."""
     fb = feedback_of(reverberance)
@@ -227,17 +322,18 @@ def reverb_batch(
     if use_mxu_fft:
         from freesound_classification_tpu.ops import mxu_fft
 
-        h_main, h_nyq = wet_response(
-            reverberance, room_scale, fft_len, sr, aligned=True)
+        hmr, hmi, hnr = wet_response_split(
+            reverberance, room_scale, fft_len, sr)
         if b % 2:  # pair packing needs an even row count
             wave_p = jnp.pad(wave, ((0, 1), (0, 0)))
-            h_main = jnp.pad(h_main, ((0, 1), (0, 0)))
-            h_nyq = jnp.pad(h_nyq, ((0, 1), (0, 0)))
-            wet = mxu_fft.real_filter_pow2_pairs(
-                wave_p, h_main, h_nyq, fft_len)[:b, :l]
+            hmr = jnp.pad(hmr, ((0, 1), (0, 0)))
+            hmi = jnp.pad(hmi, ((0, 1), (0, 0)))
+            hnr = jnp.pad(hnr, ((0, 1), (0, 0)))
+            wet = mxu_fft.real_filter_pairs_split_native(
+                wave_p, hmr, hmi, hnr, fft_len)[:b, :l]
         else:
-            wet = mxu_fft.real_filter_pow2_pairs(
-                wave, h_main, h_nyq, fft_len)[..., :l]
+            wet = mxu_fft.real_filter_pairs_split_native(
+                wave, hmr, hmi, hnr, fft_len)[..., :l]
     else:
         h = wet_response(reverberance, room_scale, fft_len, sr)
         xf = jnp.fft.rfft(wave, fft_len, axis=-1)

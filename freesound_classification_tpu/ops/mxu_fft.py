@@ -284,6 +284,152 @@ def real_filter_pow2_pairs(x: jnp.ndarray, h_main: jnp.ndarray,
     return out.reshape(b, n).astype(jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# Hand-split re/im arithmetic
+# ---------------------------------------------------------------------------
+#
+# A jax.profiler trace of real_filter_pow2_pairs at (64, 2^19) shows the
+# program shattering into ~45 HBM passes: XLA's complex64 lowering
+# materializes separate re/im copies around nearly every op (each complex
+# multiply/add becomes extract-real, extract-imag, compute, re-complex), so
+# the 25.5 ms reverb is dominated by bandwidth the MATH doesn't need — the
+# matmul core alone is 2.28 ms. The *_split variants below carry every
+# complex value as a PAIR of f32 arrays: stage matmuls are plain f32
+# einsums (the MXU work is identical — a complex matmul is 4 real matmuls
+# either way) and the twiddle/untangle algebra is plain f32 elementwise
+# that XLA fuses into the surrounding matmuls instead of materializing.
+
+
+@functools.lru_cache(maxsize=32)
+def _dft_split(n: int):
+    d = _dft_matrix(n)
+    return (np.ascontiguousarray(d.real), np.ascontiguousarray(d.imag))
+
+
+@functools.lru_cache(maxsize=32)
+def _stage_twiddle_split(radices: tuple, i: int):
+    t = _stage_twiddle(radices, i)
+    return (np.ascontiguousarray(t.real), np.ascontiguousarray(t.imag))
+
+
+def cfft_last_split(xr: jnp.ndarray, xi: jnp.ndarray):
+    """cfft_last on hand-split re/im f32 arrays -> (yr, yi).
+
+    Bit-identical math to cfft_last (same stage order, same HIGHEST-
+    precision dots); only the value representation changes.
+    """
+    n = xr.shape[-1]
+    assert n & (n - 1) == 0, "power-of-two lengths only"
+    if n <= _RADIX_MAX:
+        dr, di = map(jnp.asarray, _dft_split(n))
+        yr = (jnp.einsum("...j,jk->...k", xr, dr, precision=_HIGHEST)
+              - jnp.einsum("...j,jk->...k", xi, di, precision=_HIGHEST))
+        yi = (jnp.einsum("...j,jk->...k", xr, di, precision=_HIGHEST)
+              + jnp.einsum("...j,jk->...k", xi, dr, precision=_HIGHEST))
+        return yr, yi
+    radices = _factor(n)
+    p = len(radices)
+    batch = xr.shape[:-1]
+    ar = xr.reshape(*batch, *radices)
+    ai = xi.reshape(*batch, *radices)
+    letters = "abcdefgh"[:p]
+    for i in range(p):
+        sub = (f"...{letters},{letters[i]}z"
+               f"->...{letters.replace(letters[i], 'z')}")
+        dr, di = map(jnp.asarray, _dft_split(radices[i]))
+        nr = (jnp.einsum(sub, ar, dr, precision=_HIGHEST)
+              - jnp.einsum(sub, ai, di, precision=_HIGHEST))
+        ni = (jnp.einsum(sub, ar, di, precision=_HIGHEST)
+              + jnp.einsum(sub, ai, dr, precision=_HIGHEST))
+        if i < p - 1:
+            twr, twi = _stage_twiddle_split(radices, i)
+            shape = twr.shape + (1,) * (p - i - 2)
+            twr = jnp.asarray(twr).reshape(shape)
+            twi = jnp.asarray(twi).reshape(shape)
+            ar = nr * twr - ni * twi
+            ai = nr * twi + ni * twr
+        else:
+            ar, ai = nr, ni
+    nb = len(batch)
+    perm = tuple(range(nb)) + tuple(nb + j for j in reversed(range(p)))
+    return (ar.transpose(perm).reshape(*batch, n),
+            ai.transpose(perm).reshape(*batch, n))
+
+
+def real_filter_pow2_pairs_split(x: jnp.ndarray, h_main: jnp.ndarray,
+                                 h_nyq: jnp.ndarray, n: int) -> jnp.ndarray:
+    """real_filter_pow2_pairs with hand-split re/im arithmetic.
+
+    Identical algebra (same row pairing, untangle, and Nyquist handling);
+    every complex value is carried as two f32 arrays so no complex64
+    tensor is ever materialized. The complex twin above is kept as the
+    parity oracle (tests/test_mxu_fft.py) and for A/B probes; the
+    production freeverb path (ops/freeverb.py reverb_batch) calls
+    real_filter_pairs_split_native with filters that were never complex.
+    """
+    assert h_main.shape[-1] == n // 2 and h_nyq.shape[-1] == 1
+    return real_filter_pairs_split_native(
+        x, jnp.real(h_main).astype(jnp.float32),
+        jnp.imag(h_main).astype(jnp.float32),
+        jnp.real(h_nyq).astype(jnp.float32), n)
+
+
+def real_filter_pairs_split_native(x: jnp.ndarray, hmr: jnp.ndarray,
+                                   hmi: jnp.ndarray, hnr: jnp.ndarray,
+                                   n: int) -> jnp.ndarray:
+    """Split-native core: per-row filters given as f32 arrays
+    ``hmr``/``hmi`` (B, n//2) = Re/Im H[0..n//2-1] and ``hnr`` (B, 1) =
+    Re H[n//2] (the Nyquist bin of a real filter is real; any imaginary
+    part is discarded per the irfft convention, as is Im H[0])."""
+    assert n & (n - 1) == 0 and n >= 4
+    b, l = x.shape
+    assert b % 2 == 0, "pair packing needs an even number of rows"
+    assert hmr.shape[-1] == n // 2 and hnr.shape[-1] == 1
+    if l < n:
+        x = jnp.pad(x, ((0, 0), (0, n - l)))
+    elif l > n:
+        x = x[..., :n]
+    h = n // 2
+    fr, fi = cfft_last_split(x[0::2], x[1::2])  # (B/2, n)
+    # conj(Z[(n - k) mod n]) split: re flips, im flips and negates
+    rr = jnp.roll(jnp.flip(fr, axis=-1), 1, axis=-1)
+    ri = jnp.roll(jnp.flip(fi, axis=-1), 1, axis=-1)  # sign folded below
+    # A = rfft(even rows), B = rfft(odd rows) on the aligned half grid
+    ar = 0.5 * (fr[..., :h] + rr[..., :h])
+    ai = 0.5 * (fi[..., :h] - ri[..., :h])
+    br = 0.5 * (fi[..., :h] + ri[..., :h])
+    bi = -0.5 * (fr[..., :h] - rr[..., :h])
+    # per-row filters, DC bin projected to its real part
+    dc0 = jnp.zeros((hmi.shape[0] // 2, 1), jnp.float32)
+
+    def _zero_dc(hi_arr):
+        return jnp.concatenate([dc0, hi_arr[..., 1:]], axis=-1)
+
+    her, hei = hmr[0::2], _zero_dc(hmi[0::2])
+    hor, hoi = hmr[1::2], _zero_dc(hmi[1::2])
+    y1r = ar * her - ai * hei
+    y1i = ar * hei + ai * her
+    y2r = br * hor - bi * hoi
+    y2i = br * hoi + bi * hor
+    # Nyquist bin: A[h] = Re Z[h], B[h] = Im Z[h]
+    y1n = fr[..., h : h + 1] * hnr[0::2]
+    y2n = fi[..., h : h + 1] * hnr[1::2]
+    # Y[k] = Y1 + i Y2 on [0, h); Y[n - m] = conj(Y1 - i Y2)[m]
+    ypr = y1r - y2i
+    ypi = y1i + y2r
+    ymr = y1r + y2i
+    ymi = y2r - y1i
+    qr = jnp.roll(jnp.flip(ymr, axis=-1), 1, axis=-1)
+    qi = jnp.roll(jnp.flip(ymi, axis=-1), 1, axis=-1)
+    yfr = jnp.concatenate([ypr, y1n, qr[..., 1:]], axis=-1)
+    yfi = jnp.concatenate([ypi, y2n, qi[..., 1:]], axis=-1)
+    # unnormalized inverse via conjugation: icfft(y) = conj(cfft(conj y))
+    gr, gi = cfft_last_split(yfr, -yfi)
+    inv = 1.0 / n
+    out = jnp.stack([gr * inv, gi * (-inv)], axis=1)
+    return out.reshape(b, n).astype(jnp.float32)
+
+
 def irfft_pow2(xf: jnp.ndarray, n: int) -> jnp.ndarray:
     """Inverse of rfft_pow2: (..., n//2 + 1) complex -> (..., n) real f32.
 

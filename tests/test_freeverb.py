@@ -167,6 +167,29 @@ class TestMxuFftPath:
         err = np.max(np.abs(np.asarray(out_x) - np.asarray(out_m)))
         assert err < 1e-4, err
 
+    def test_split_wet_response_matches_complex(self):
+        """wet_response_split (outer-product phases, split re/im) == the
+        complex evaluator. Tolerance covers the ~1 ulp the phase outer
+        product adds, amplified at comb resonances (~50x at fb 0.89)."""
+        sr = 44100
+        for fft_len in (1 << 10, 1 << 15):
+            rev = jnp.asarray([0.0, 30.0, 49.0], jnp.float32)
+            room = jnp.asarray([20.0, 45.0, 5.0], jnp.float32)
+            main, nyq = freeverb.wet_response(rev, room, fft_len, sr,
+                                              aligned=True)
+            hmr, hmi, hnr = freeverb.wet_response_split(
+                rev, room, fft_len, sr)
+            scale = np.max(np.abs(np.asarray(main)))
+            np.testing.assert_allclose(
+                np.asarray(hmr), np.asarray(main).real,
+                atol=2e-5 * scale, rtol=0)
+            np.testing.assert_allclose(
+                np.asarray(hmi), np.asarray(main).imag,
+                atol=2e-5 * scale, rtol=0)
+            np.testing.assert_allclose(
+                np.asarray(hnr), np.asarray(nyq).real,
+                atol=2e-5 * scale, rtol=0)
+
     def test_aligned_wet_response_matches_full(self):
         sr = 44100
         fft_len = 1 << 14

@@ -99,8 +99,13 @@ def test_real_filter_projects_edge_bins_to_real():
 
 
 @pytest.mark.parametrize("n", [256, 4096, 1 << 15])
-def test_real_filter_pairs_matches_separate_transforms(n):
-    """Row-pair packed filtering == per-row irfft(rfft(x) * H)."""
+@pytest.mark.parametrize(
+    "fn", [mxu_fft.real_filter_pow2_pairs,
+           mxu_fft.real_filter_pow2_pairs_split])
+def test_real_filter_pairs_matches_separate_transforms(n, fn):
+    """Row-pair packed filtering == per-row irfft(rfft(x) * H), for both
+    the complex64 implementation and the hand-split re/im production
+    twin."""
     rng = np.random.RandomState(8)
     b = 6
     x = rng.randn(b, n - min(64, n // 4)).astype(np.float32)
@@ -108,9 +113,20 @@ def test_real_filter_pairs_matches_separate_transforms(n):
         np.complex64)
     h[:, 0] = h[:, 0].real
     h[:, -1] = h[:, -1].real
-    out = mxu_fft.real_filter_pow2_pairs(
+    out = fn(
         jnp.asarray(x), jnp.asarray(h[:, : n // 2]),
         jnp.asarray(h[:, n // 2:]), n)
     ref = np.fft.irfft(np.fft.rfft(x, n, axis=-1) * h, n, axis=-1)
     assert out.shape == (b, n)
     assert _rel_err(out, ref) < 5e-6
+
+
+@pytest.mark.parametrize("n", [128, 1024, 1 << 14])
+def test_cfft_split_matches_complex(n):
+    """The split-re/im FFT is the same math as the complex64 one."""
+    rng = np.random.RandomState(9)
+    xr = rng.randn(3, n).astype(np.float32)
+    xi = rng.randn(3, n).astype(np.float32)
+    yr, yi = mxu_fft.cfft_last_split(jnp.asarray(xr), jnp.asarray(xi))
+    ref = np.fft.fft(xr + 1j * xi, axis=-1)
+    assert _rel_err(np.asarray(yr) + 1j * np.asarray(yi), ref) < 2e-6
