@@ -84,9 +84,20 @@ class ResnetBlock1d(nn.Module):
     depth: int
     dtype: jnp.dtype = jnp.float32
     fused_infer: bool = False
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if (self.fused_train and train and not self.is_initializing()
+                and x.shape[-1] == self.depth):
+            from freesound_classification_tpu.ops.resnet_train import (
+                resnet_block_1d_train,
+            )
+
+            y, new_stats = resnet_block_1d_train(x, self.variables)
+            for bn_name in ("bn1", "bn2", "bn3"):
+                _RunningStats(name=bn_name)(new_stats[bn_name])
+            return y
         if (self.fused_infer and not train and not self.is_initializing()
                 and x.shape[-1] == self.depth):
             from freesound_classification_tpu.ops.pallas_resnet1d import (
@@ -107,6 +118,23 @@ class ResnetBlock1d(nn.Module):
         return PReLU(self.depth, name="prelu3")(h)
 
 
+class _RunningStats(nn.Module):
+    """Declares one BatchNorm's ``batch_stats`` subtree and assigns the
+    already-updated running stats a fused train path computed. Named after
+    the BN it stands in for (``bn1``/...), so the variable tree — and
+    therefore every checkpoint — is identical to the unfused chain's."""
+
+    @nn.compact
+    def __call__(self, new_stats):
+        m = self.variable("batch_stats", "mean",
+                          lambda: jnp.zeros_like(new_stats["mean"]))
+        v = self.variable("batch_stats", "var",
+                          lambda: jnp.ones_like(new_stats["var"]))
+        if not self.is_initializing():
+            m.value = new_stats["mean"]
+            v.value = new_stats["var"]
+
+
 class ResnetBlock2d(nn.Module):
     """Same as ResnetBlock1d in 2d (reference networks/classifiers.py:72-104).
 
@@ -114,14 +142,29 @@ class ResnetBlock2d(nn.Module):
     the one-pass fused Pallas block (BN folded into conv weights,
     ops/pallas_resnet.py) instead of the 9-stage unfused chain; params and
     checkpoints are identical in both modes (init and training always take
-    the unfused path)."""
+    the unfused path). With ``fused_train=True``, train-mode forwards run
+    the tap-split XLA formulation (ops/resnet_train.py — same math, conv
+    re-expressed as nine shifted einsums so fwd AND bwd avoid XLA's conv
+    lowering); batch_stats updates flow through _RunningStats children so
+    the variable tree stays checkpoint-identical."""
 
     depth: int
     dtype: jnp.dtype = jnp.float32
     fused_infer: bool = False
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if (self.fused_train and train and not self.is_initializing()
+                and x.shape[-1] == self.depth):
+            from freesound_classification_tpu.ops.resnet_train import (
+                resnet_block_2d_train,
+            )
+
+            y, new_stats = resnet_block_2d_train(x, self.variables)
+            for bn_name in ("bn1", "bn2", "bn3"):
+                _RunningStats(name=bn_name)(new_stats[bn_name])
+            return y
         if (self.fused_infer and not train and not self.is_initializing()
                 and x.shape[-1] == self.depth):
             from freesound_classification_tpu.ops.pallas_resnet import (
@@ -154,6 +197,7 @@ class ConvBlock1d(nn.Module):
     depth: int
     dtype: jnp.dtype = jnp.float32
     fused_infer: bool = False
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -168,6 +212,7 @@ class ConvBlock1d(nn.Module):
         h = PReLU(self.depth, name="prelu")(h)
         return ResnetBlock1d(self.depth, self.dtype,
                              fused_infer=self.fused_infer,
+                             fused_train=self.fused_train,
                              name="resnet")(h, train)
 
 
@@ -177,6 +222,7 @@ class ConvBlock2d(nn.Module):
     depth: int
     dtype: jnp.dtype = jnp.float32
     fused_infer: bool = False
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -191,6 +237,7 @@ class ConvBlock2d(nn.Module):
         h = PReLU(self.depth, name="prelu")(h)
         return ResnetBlock2d(self.depth, self.dtype,
                              fused_infer=self.fused_infer,
+                             fused_train=self.fused_train,
                              name="resnet")(h, train)
 
 
