@@ -79,7 +79,9 @@ class ResnetBlock1d(nn.Module):
     reference networks/classifiers.py:37-69. Input (B, T, C). With
     ``fused_infer=True``, eval-mode forwards run the one-pass fused lane-roll
     Pallas block (BN folded into conv weights, ops/pallas_resnet1d.py);
-    params and checkpoints are identical in both modes."""
+    with ``fused_train=True``, train-mode forwards run the tap-split XLA
+    formulation (ops/resnet_train.py). Params and checkpoints are
+    identical in every mode."""
 
     depth: int
     dtype: jnp.dtype = jnp.float32
@@ -120,9 +122,9 @@ class ResnetBlock1d(nn.Module):
 
 class _RunningStats(nn.Module):
     """Declares one BatchNorm's ``batch_stats`` subtree and assigns the
-    already-updated running stats a fused train path computed. Named after
-    the BN it stands in for (``bn1``/...), so the variable tree — and
-    therefore every checkpoint — is identical to the unfused chain's."""
+    already-updated running stats that a fused train path computed. Named
+    after the BN it stands in for (``bn1``/...), so the variable tree —
+    and therefore every checkpoint — is identical to the unfused chain's."""
 
     @nn.compact
     def __call__(self, new_stats):
@@ -202,7 +204,16 @@ class ConvBlock1d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = _bn(train, self.dtype, name="bn_in")(x)
-        h = nn.Conv(self.depth, (3,), padding=1, dtype=self.dtype, name="conv")(h)
+        if (self.fused_train and train and not self.is_initializing()):
+            from freesound_classification_tpu.ops.resnet_train import (
+                conv3_tap_split,
+            )
+
+            p = self.variables["params"]["conv"]
+            h = conv3_tap_split(h, p["kernel"], p["bias"])
+        else:
+            h = nn.Conv(self.depth, (3,), padding=1, dtype=self.dtype,
+                        name="conv")(h)
         # clamp the pool once the (static, per-bucket) time axis hits 1 —
         # torch's MaxPool1d(2) would error there; deep towers on short
         # buckets must stay well-defined
@@ -227,7 +238,16 @@ class ConvBlock2d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = _bn(train, self.dtype, name="bn_in")(x)
-        h = nn.Conv(self.depth, (3, 3), padding=1, dtype=self.dtype, name="conv")(h)
+        if (self.fused_train and train and not self.is_initializing()):
+            from freesound_classification_tpu.ops.resnet_train import (
+                conv3x3_tap_split,
+            )
+
+            p = self.variables["params"]["conv"]
+            h = conv3x3_tap_split(h, p["kernel"], p["bias"])
+        else:
+            h = nn.Conv(self.depth, (3, 3), padding=1, dtype=self.dtype,
+                        name="conv")(h)
         # clamp pooling per axis once its static size hits 1 (short buckets
         # under deep towers; see ConvBlock1d)
         wh = 2 if h.shape[1] >= 2 else 1

@@ -52,7 +52,7 @@ def _bn_train(u, params, stats, momentum, eps, dtype):
     return out, mut["batch_stats"]
 
 
-def _conv3x3_tap_split(h, kernel, bias):
+def conv3x3_tap_split(h, kernel, bias):
     """3x3 SAME conv as nine statically-shifted minor-dim einsums.
 
     h: (B, H, W, C); kernel: (3, 3, C, K); bias: (K,). Zero padding
@@ -73,8 +73,8 @@ def _conv3x3_tap_split(h, kernel, bias):
     return acc + bias.astype(h.dtype)
 
 
-def _conv3_tap_split(h, kernel, bias):
-    """1d twin of _conv3x3_tap_split: (B, T, C) x (3, C, K) -> (B, T, K)."""
+def conv3_tap_split(h, kernel, bias):
+    """1d twin of conv3x3_tap_split: (B, T, C) x (3, C, K) -> (B, T, K)."""
     b, tt, c = h.shape
     hp = jnp.pad(h, ((0, 0), (1, 1), (0, 0)))
     acc = None
@@ -99,7 +99,7 @@ def resnet_block_1d_train(x, variables, *, momentum: float = 0.9,
     z1, st1 = _bn_train(u1, p["bn1"], bs["bn1"], momentum, eps, dt)
     h1 = _prelu(z1, p["prelu1"]["alpha"])
 
-    u2 = _conv3_tap_split(h1, p["conv2"]["kernel"], p["conv2"]["bias"])
+    u2 = conv3_tap_split(h1, p["conv2"]["kernel"], p["conv2"]["bias"])
     z2, st2 = _bn_train(u2, p["bn2"], bs["bn2"], momentum, eps, dt)
     h2 = _prelu(z2, p["prelu2"]["alpha"])
 
@@ -132,7 +132,7 @@ def resnet_block_2d_train(x, variables, *, momentum: float = 0.9,
     z1, st1 = _bn_train(u1, p["bn1"], bs["bn1"], momentum, eps, dt)
     h1 = _prelu(z1, p["prelu1"]["alpha"])
 
-    u2 = _conv3x3_tap_split(h1, p["conv2"]["kernel"], p["conv2"]["bias"])
+    u2 = conv3x3_tap_split(h1, p["conv2"]["kernel"], p["conv2"]["bias"])
     z2, st2 = _bn_train(u2, p["bn2"], bs["bn2"], momentum, eps, dt)
     h2 = _prelu(z2, p["prelu2"]["alpha"])
 

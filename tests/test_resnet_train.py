@@ -104,6 +104,29 @@ def test_module_fused_train_matches_unfused(block_setup):
     assert y_eval.shape == x.shape
 
 
+def test_convblock_fused_train_matches_unfused():
+    """ConvBlock2d(fused_train=True) — outer tap-split conv + fused resnet
+    — matches the plain chain, including when C_in != depth."""
+    from freesound_classification_tpu.models.blocks import ConvBlock2d
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8, 12, 5).astype(np.float32))
+    variables = ConvBlock2d(depth=9).init(
+        jax.random.PRNGKey(3), x, train=True)
+    y_ref, mut_ref = ConvBlock2d(depth=9).apply(
+        variables, x, train=True, mutable=["batch_stats"])
+    y, mut = ConvBlock2d(depth=9, fused_train=True).apply(
+        variables, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    assert (jax.tree.structure(mut["batch_stats"])
+            == jax.tree.structure(mut_ref["batch_stats"]))
+    for a, b in zip(jax.tree.leaves(mut["batch_stats"]),
+                    jax.tree.leaves(mut_ref["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_1d_forward_stats_and_grads_match_flax():
     c = 10
     block = ResnetBlock1d(depth=c)
