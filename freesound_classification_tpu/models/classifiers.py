@@ -224,5 +224,6 @@ def build_classifier(model_kind: str, config, n_classes: int, dtype=jnp.float32,
             n_classes=n_classes,
             dtype=dtype,
             fused_infer=fused_infer,
+            fused_train=fused_train,
         )
     raise ValueError(f"unknown model kind {model_kind!r}")

@@ -85,6 +85,25 @@ def conv3_tap_split(h, kernel, bias):
     return acc + bias.astype(h.dtype)
 
 
+def basic_block_train(x, variables, *, momentum: float = 0.9,
+                      eps: float = 1e-5):
+    """Train-mode forward of a stride-1 identity BasicBlock
+    (models/backbone.py): 3x3 -> BN -> relu -> 3x3 -> BN -> +id -> relu,
+    convs tap-split. Projection / stride-2 blocks keep the flax path (one
+    per stage; XLA's strided-conv lowering is not the hot loop).
+    Returns (y, new_batch_stats)."""
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    dt = x.dtype
+    zero = jnp.zeros((p["conv1"]["kernel"].shape[-1],), dt)
+    u1 = conv3x3_tap_split(x, p["conv1"]["kernel"], zero)
+    z1, st1 = _bn_train(u1, p["bn1"], bs["bn1"], momentum, eps, dt)
+    h = nn.relu(z1)
+    u2 = conv3x3_tap_split(h, p["conv2"]["kernel"], zero)
+    z2, st2 = _bn_train(u2, p["bn2"], bs["bn2"], momentum, eps, dt)
+    return nn.relu(z2 + x), {"bn1": st1, "bn2": st2}
+
+
 def resnet_block_1d_train(x, variables, *, momentum: float = 0.9,
                           eps: float = 1e-5):
     """Train-mode forward of one ResnetBlock1d (models/blocks.py), the

@@ -127,6 +127,37 @@ def test_convblock_fused_train_matches_unfused():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_backbone_basic_block_fused_train_matches_unfused():
+    """BasicBlock(fused_train=True) for stride-1 identity blocks; stride-2
+    / projection blocks must silently keep the flax path."""
+    from freesound_classification_tpu.models.backbone import BasicBlock
+
+    rng = np.random.RandomState(4)
+    c = 8
+    x = jnp.asarray(rng.randn(2, 10, 14, c).astype(np.float32))
+    variables = BasicBlock(features=c).init(
+        jax.random.PRNGKey(4), x, train=True)
+    y_ref, mut_ref = BasicBlock(features=c).apply(
+        variables, x, train=True, mutable=["batch_stats"])
+    y, mut = BasicBlock(features=c, fused_train=True).apply(
+        variables, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(mut["batch_stats"]),
+                    jax.tree.leaves(mut_ref["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # stride-2 projection block: fused_train must be a no-op
+    vs = BasicBlock(features=2 * c, strides=2).init(
+        jax.random.PRNGKey(5), x, train=True)
+    y2_ref, _ = BasicBlock(features=2 * c, strides=2).apply(
+        vs, x, train=True, mutable=["batch_stats"])
+    y2, _ = BasicBlock(features=2 * c, strides=2, fused_train=True).apply(
+        vs, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y2_ref))
+
+
 def test_1d_forward_stats_and_grads_match_flax():
     c = 10
     block = ResnetBlock1d(depth=c)
