@@ -120,10 +120,6 @@ def add_train_arguments(parser: argparse.ArgumentParser) -> None:
         help="bfloat16 model compute (params stay f32)")
     req("--use_pallas", action="store_true", default=False,
         help="fused Pallas mel kernel (TPU only)")
-    req("--fused_train", action="store_true", default=False,
-        help="tap-split train-mode resnet blocks (ops/resnet_train.py): "
-             "same math, convs as shifted einsums so fwd+bwd avoid XLA's "
-             "conv lowering")
     req("--mesh_devices", type=int, default=None,
         help="number of devices in the data-parallel mesh (default: all)")
     req("--max_batch_elems", type=int, default=None,
@@ -204,10 +200,6 @@ def build_engine(args, experiment, model_kind: str, n_classes: int,
         # eval forwards fold BN into the conv weights (ops/pallas_resnet);
         # init/training paths are unaffected, checkpoints identical
         fused_infer=bool(getattr(args, "fused_infer", False)),
-        # train forwards run resnet blocks as tap-split einsums
-        # (ops/resnet_train.py); default off pending the hardware A/B
-        # (scripts/probe_train_block_v2.py)
-        fused_train=bool(getattr(args, "fused_train", False)),
     )
     frontend = Frontend(
         args.features, MODEL_FAMILY[model_kind], sr=SR,

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 from freesound_classification_tpu.models.blocks import (
     MLPHead,
-    _RunningStats,
     _bn,
     masked_max_pool_2d,
 )
@@ -28,29 +27,17 @@ class BasicBlock(nn.Module):
 
     With ``fused_infer=True``, eval-mode stride-1 identity blocks run the
     one-pass fused Pallas kernel (BN folded into conv weights,
-    ops/pallas_backbone.py); with ``fused_train=True``, train-mode
-    stride-1 identity blocks run the tap-split XLA formulation
-    (ops/resnet_train.py). Params and checkpoints are identical in every
-    mode (init and projection/stride blocks take the unfused path)."""
+    ops/pallas_backbone.py); params and checkpoints are identical in both
+    modes (init, training, and projection/stride blocks take the unfused
+    or XLA-folded path)."""
 
     features: int
     strides: int = 1
     dtype: jnp.dtype = jnp.float32
     fused_infer: bool = False
-    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if (self.fused_train and train and not self.is_initializing()
-                and self.strides == 1 and x.shape[-1] == self.features):
-            from freesound_classification_tpu.ops.resnet_train import (
-                basic_block_train,
-            )
-
-            y, new_stats = basic_block_train(x, self.variables)
-            for bn_name in ("bn1", "bn2"):
-                _RunningStats(name=bn_name)(new_stats[bn_name])
-            return y
         if (self.fused_infer and not train and not self.is_initializing()):
             from freesound_classification_tpu.ops.pallas_backbone import (
                 basic_block_infer,
@@ -90,7 +77,6 @@ class ResNetTrunk(nn.Module):
     stages: Sequence[int]
     dtype: jnp.dtype = jnp.float32
     fused_infer: bool = False
-    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -108,7 +94,6 @@ class ResNetTrunk(nn.Module):
                 h = BasicBlock(
                     features, strides, self.dtype,
                     fused_infer=self.fused_infer,
-                    fused_train=self.fused_train,
                     name=f"stage{stage}_block{b}"
                 )(h, train)
         return h
@@ -123,10 +108,8 @@ class CNNBackbone(nn.Module):
     n_classes: int = 80
     dtype: jnp.dtype = jnp.float32
     # eval-mode stride-1 blocks use the fused Pallas BasicBlock
-    # (ops/pallas_backbone.py); fused_train runs train-mode stride-1
-    # blocks tap-split (ops/resnet_train.py)
+    # (ops/pallas_backbone.py); training/init paths are unaffected
     fused_infer: bool = False
-    fused_train: bool = False
 
     @nn.compact
     def __call__(self, spec, frame_lengths, train: bool = False):
@@ -134,8 +117,7 @@ class CNNBackbone(nn.Module):
         x = jnp.repeat(spec.astype(self.dtype), 3, axis=-1)
         x = _bn(train, self.dtype, name="input_norm")(x)
         h = ResNetTrunk(RESNET_STAGES[self.arch], self.dtype,
-                        fused_infer=self.fused_infer,
-                        fused_train=self.fused_train, name="trunk")(
+                        fused_infer=self.fused_infer, name="trunk")(
             x, train
         )
         # trunk downsamples time by 32 (conv1 2x, maxpool 2x, stages 2-4: 8x)

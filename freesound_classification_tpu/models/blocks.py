@@ -79,27 +79,14 @@ class ResnetBlock1d(nn.Module):
     reference networks/classifiers.py:37-69. Input (B, T, C). With
     ``fused_infer=True``, eval-mode forwards run the one-pass fused lane-roll
     Pallas block (BN folded into conv weights, ops/pallas_resnet1d.py);
-    with ``fused_train=True``, train-mode forwards run the tap-split XLA
-    formulation (ops/resnet_train.py). Params and checkpoints are
-    identical in every mode."""
+    params and checkpoints are identical in both modes."""
 
     depth: int
     dtype: jnp.dtype = jnp.float32
     fused_infer: bool = False
-    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if (self.fused_train and train and not self.is_initializing()
-                and x.shape[-1] == self.depth):
-            from freesound_classification_tpu.ops.resnet_train import (
-                resnet_block_1d_train,
-            )
-
-            y, new_stats = resnet_block_1d_train(x, self.variables)
-            for bn_name in ("bn1", "bn2", "bn3"):
-                _RunningStats(name=bn_name)(new_stats[bn_name])
-            return y
         if (self.fused_infer and not train and not self.is_initializing()
                 and x.shape[-1] == self.depth):
             from freesound_classification_tpu.ops.pallas_resnet1d import (
@@ -120,23 +107,6 @@ class ResnetBlock1d(nn.Module):
         return PReLU(self.depth, name="prelu3")(h)
 
 
-class _RunningStats(nn.Module):
-    """Declares one BatchNorm's ``batch_stats`` subtree and assigns the
-    already-updated running stats that a fused train path computed. Named
-    after the BN it stands in for (``bn1``/...), so the variable tree —
-    and therefore every checkpoint — is identical to the unfused chain's."""
-
-    @nn.compact
-    def __call__(self, new_stats):
-        m = self.variable("batch_stats", "mean",
-                          lambda: jnp.zeros_like(new_stats["mean"]))
-        v = self.variable("batch_stats", "var",
-                          lambda: jnp.ones_like(new_stats["var"]))
-        if not self.is_initializing():
-            m.value = new_stats["mean"]
-            v.value = new_stats["var"]
-
-
 class ResnetBlock2d(nn.Module):
     """Same as ResnetBlock1d in 2d (reference networks/classifiers.py:72-104).
 
@@ -144,29 +114,14 @@ class ResnetBlock2d(nn.Module):
     the one-pass fused Pallas block (BN folded into conv weights,
     ops/pallas_resnet.py) instead of the 9-stage unfused chain; params and
     checkpoints are identical in both modes (init and training always take
-    the unfused path). With ``fused_train=True``, train-mode forwards run
-    the tap-split XLA formulation (ops/resnet_train.py — same math, conv
-    re-expressed as nine shifted einsums so fwd AND bwd avoid XLA's conv
-    lowering); batch_stats updates flow through _RunningStats children so
-    the variable tree stays checkpoint-identical."""
+    the unfused path)."""
 
     depth: int
     dtype: jnp.dtype = jnp.float32
     fused_infer: bool = False
-    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if (self.fused_train and train and not self.is_initializing()
-                and x.shape[-1] == self.depth):
-            from freesound_classification_tpu.ops.resnet_train import (
-                resnet_block_2d_train,
-            )
-
-            y, new_stats = resnet_block_2d_train(x, self.variables)
-            for bn_name in ("bn1", "bn2", "bn3"):
-                _RunningStats(name=bn_name)(new_stats[bn_name])
-            return y
         if (self.fused_infer and not train and not self.is_initializing()
                 and x.shape[-1] == self.depth):
             from freesound_classification_tpu.ops.pallas_resnet import (
@@ -199,21 +154,11 @@ class ConvBlock1d(nn.Module):
     depth: int
     dtype: jnp.dtype = jnp.float32
     fused_infer: bool = False
-    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = _bn(train, self.dtype, name="bn_in")(x)
-        if (self.fused_train and train and not self.is_initializing()):
-            from freesound_classification_tpu.ops.resnet_train import (
-                conv3_tap_split,
-            )
-
-            p = self.variables["params"]["conv"]
-            h = conv3_tap_split(h, p["kernel"], p["bias"])
-        else:
-            h = nn.Conv(self.depth, (3,), padding=1, dtype=self.dtype,
-                        name="conv")(h)
+        h = nn.Conv(self.depth, (3,), padding=1, dtype=self.dtype, name="conv")(h)
         # clamp the pool once the (static, per-bucket) time axis hits 1 —
         # torch's MaxPool1d(2) would error there; deep towers on short
         # buckets must stay well-defined
@@ -223,7 +168,6 @@ class ConvBlock1d(nn.Module):
         h = PReLU(self.depth, name="prelu")(h)
         return ResnetBlock1d(self.depth, self.dtype,
                              fused_infer=self.fused_infer,
-                             fused_train=self.fused_train,
                              name="resnet")(h, train)
 
 
@@ -233,21 +177,11 @@ class ConvBlock2d(nn.Module):
     depth: int
     dtype: jnp.dtype = jnp.float32
     fused_infer: bool = False
-    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = _bn(train, self.dtype, name="bn_in")(x)
-        if (self.fused_train and train and not self.is_initializing()):
-            from freesound_classification_tpu.ops.resnet_train import (
-                conv3x3_tap_split,
-            )
-
-            p = self.variables["params"]["conv"]
-            h = conv3x3_tap_split(h, p["kernel"], p["bias"])
-        else:
-            h = nn.Conv(self.depth, (3, 3), padding=1, dtype=self.dtype,
-                        name="conv")(h)
+        h = nn.Conv(self.depth, (3, 3), padding=1, dtype=self.dtype, name="conv")(h)
         # clamp pooling per axis once its static size hits 1 (short buckets
         # under deep towers; see ConvBlock1d)
         wh = 2 if h.shape[1] >= 2 else 1
@@ -257,7 +191,6 @@ class ConvBlock2d(nn.Module):
         h = PReLU(self.depth, name="prelu")(h)
         return ResnetBlock2d(self.depth, self.dtype,
                              fused_infer=self.fused_infer,
-                             fused_train=self.fused_train,
                              name="resnet")(h, train)
 
 

@@ -72,11 +72,9 @@ class TwoDimensionalCNN(nn.Module):
     n_classes: int = 80
     dtype: jnp.dtype = jnp.float32
     # eval-mode forwards use the one-pass fused Pallas resnet block
-    # (ops/pallas_resnet.py); fused_train routes TRAIN-mode resnet blocks
-    # through the tap-split XLA formulation (ops/resnet_train.py); the
-    # checkpoint layout is identical in every mode
+    # (ops/pallas_resnet.py); training/init paths are unaffected and the
+    # checkpoint layout is identical either way
     fused_infer: bool = False
-    fused_train: bool = False
 
     @nn.compact
     def __call__(self, spec, frame_lengths, train: bool = False):
@@ -91,7 +89,6 @@ class TwoDimensionalCNN(nn.Module):
         for k, depth in enumerate(depths):
             h = ConvBlock2d(depth, self.dtype,
                             fused_infer=self.fused_infer,
-                            fused_train=self.fused_train,
                             name=f"block{k}")(h, train)
             lengths = jnp.maximum(lengths // 2, 1)
             h = mask_time_2d(h, lengths)
@@ -139,11 +136,9 @@ class HierarchicalCNN(nn.Module):
     n_classes: int = 80
     dtype: jnp.dtype = jnp.float32
     # eval-mode forwards use the one-pass fused lane-roll Pallas resnet
-    # block (ops/pallas_resnet1d.py); fused_train routes TRAIN-mode blocks
-    # through the tap-split XLA formulation (ops/resnet_train.py); the
-    # checkpoint layout is identical in every mode
+    # block (ops/pallas_resnet1d.py); training/init paths are unaffected
+    # and the checkpoint layout is identical either way
     fused_infer: bool = False
-    fused_train: bool = False
 
     @nn.compact
     def __call__(self, feats_ntc, frame_lengths, train: bool = False):
@@ -157,7 +152,6 @@ class HierarchicalCNN(nn.Module):
         for k, depth in enumerate(depths):
             h = ConvBlock1d(depth, self.dtype,
                             fused_infer=self.fused_infer,
-                            fused_train=self.fused_train,
                             name=f"block{k}")(h, train)
             lengths = jnp.maximum(lengths // 2, 1)
             h = mask_time(h, lengths)
@@ -187,7 +181,7 @@ class HierarchicalCNN(nn.Module):
 
 
 def build_classifier(model_kind: str, config, n_classes: int, dtype=jnp.float32,
-                     fused_infer: bool = False, fused_train: bool = False):
+                     fused_infer: bool = False):
     """Construct a classifier module from a network config namespace.
 
     ``config`` needs: num_conv_blocks, start_deep_supervision_on,
@@ -195,9 +189,6 @@ def build_classifier(model_kind: str, config, n_classes: int, dtype=jnp.float32,
     (the reference CLI flag surface, train_2d_cnn.py:118-146).
     ``fused_infer`` routes eval-mode 2d resnet blocks through the fused
     Pallas kernel (inference CLIs set it; training keeps the default).
-    ``fused_train`` routes train-mode resnet blocks through the tap-split
-    XLA formulation (ops/resnet_train.py) — same math, conv re-expressed
-    so fwd and bwd avoid XLA's native conv lowering.
     """
     common = dict(
         num_conv_blocks=int(config.num_conv_blocks),
@@ -210,11 +201,9 @@ def build_classifier(model_kind: str, config, n_classes: int, dtype=jnp.float32,
         dtype=dtype,
     )
     if model_kind == "2d_cnn":
-        return TwoDimensionalCNN(fused_infer=fused_infer,
-                                 fused_train=fused_train, **common)
+        return TwoDimensionalCNN(fused_infer=fused_infer, **common)
     if model_kind == "hierarchical_cnn":
-        return HierarchicalCNN(fused_infer=fused_infer,
-                               fused_train=fused_train, **common)
+        return HierarchicalCNN(fused_infer=fused_infer, **common)
     if model_kind == "backbone_cnn":
         from freesound_classification_tpu.models.backbone import CNNBackbone
 
@@ -224,6 +213,5 @@ def build_classifier(model_kind: str, config, n_classes: int, dtype=jnp.float32,
             n_classes=n_classes,
             dtype=dtype,
             fused_infer=fused_infer,
-            fused_train=fused_train,
         )
     raise ValueError(f"unknown model kind {model_kind!r}")

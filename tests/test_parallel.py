@@ -24,11 +24,10 @@ def _cfg():
         switch_off_augmentations_on=100, _save_every=1000)
 
 
-def _engine(n_devices, fused_train=False):
+def _engine(n_devices):
     model = TwoDimensionalCNN(
         num_conv_blocks=2, start_deep_supervision_on=0, conv_base_depth=8,
-        growth_rate=2.0, aggregation_type="max", n_classes=5,
-        fused_train=fused_train)
+        growth_rate=2.0, aggregation_type="max", n_classes=5)
     frontend = Frontend("mel_256_128_16", "2d", sr=8000)
     eng = Engine(model, frontend, _cfg(), loss="lsep",
                  mesh=mesh_lib.make_mesh(n_devices))
@@ -102,26 +101,6 @@ class TestMeshEquivalence:
                 eng.state, db, jnp.float32(0.0),
                 jnp.int32(db['signal'].shape[0]), db["signal"])
             stats[n] = jax.device_get(eng.state.batch_stats)
-        for a, b in zip(jax.tree.leaves(stats[1]), jax.tree.leaves(stats[8])):
-            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
-
-    def test_fused_train_batch_stats_are_global(self):
-        """The tap-split train path (ops/resnet_train.py) computes BN
-        stats with plain global reductions; under GSPMD they must come
-        out identical across mesh widths, like the flax chain's."""
-        batch = _batch(b=16, seed=2)
-        stats = {}
-        losses = {}
-        for n in (1, 8):
-            eng = _engine(n, fused_train=True)
-            eng.init_state(batch)
-            db, _ = eng._prep_batch(batch)
-            eng.state, out = eng._train_step(
-                eng.state, db, jnp.float32(0.0),
-                jnp.int32(db['signal'].shape[0]), db["signal"])
-            stats[n] = jax.device_get(eng.state.batch_stats)
-            losses[n] = float(out["loss"])
-        np.testing.assert_allclose(losses[1], losses[8], rtol=1e-5)
         for a, b in zip(jax.tree.leaves(stats[1]), jax.tree.leaves(stats[8])):
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
