@@ -52,9 +52,12 @@ def build_model_and_params(key):
         aggregation_type="max",
         n_classes=N_CLASSES,
         dtype=jnp.bfloat16,
-        # eval-mode BN folded into conv weights (ops/pallas_resnet.py);
-        # measured ~7% faster resnet blocks on chip, exact parity tested
-        fused_infer=True,
+        # fused_infer=False: the BN-folded einsum/conv twin measured ~7%
+        # faster at ISOLATED block level but 2.35x SLOWER at model level
+        # (8.47 vs 19.86 ms fwd, 45.6 vs 112.4 ms 5-fold, v5e-1 — it
+        # regressed this bench 1847 -> 665 clips/s); the plain flax block
+        # is the production inference path (scripts/probe_fused_infer.py)
+        fused_infer=False,
     )
     # bf16 model: single-bf16-pass block-DFT (the model quantizes its
     # input to bf16 regardless; logit corr vs the 3-pass oracle gated in

@@ -78,9 +78,12 @@ def build_inference_engine(args, experiment, model_kind, fold, example_loader):
         p_mixup=0.0, p_aug=0.0,
         bf16=getattr(args, "bf16", False),
         use_pallas=getattr(args, "use_pallas", False),
-        # inference-only engine: fold BN into conv weights at eval
-        # (all three families; ops/pallas_resnet{,1d}.py, pallas_backbone.py)
-        fused_infer=True,
+        # fused_infer stays OFF: the BN-folded twin measured 2.35x slower
+        # than the plain flax path at model level on v5e-1 (it was only
+        # faster in isolated-block microbenchmarks; see
+        # scripts/probe_fused_infer.py and ROADMAP.md). The fused kernels
+        # remain available via models' fused_infer/use_pallas_kernel opts.
+        fused_infer=False,
         mesh_devices=getattr(args, "mesh_devices", None),
         loss=(cfg.train._loss if "_loss" in cfg.train else "lsep_naive"),
         mixup_exact_add=False,

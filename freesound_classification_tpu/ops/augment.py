@@ -378,6 +378,7 @@ def effects_chain(
     p: float | jnp.ndarray,
     sr: int = SR,
     use_phase_vocoder: bool = True,
+    fixed_count: bool = True,
 ):
     """reverb -> pitch -> overdrive -> speed, per-sample randomized.
 
@@ -394,6 +395,20 @@ def effects_chain(
     the (linear) interpolation commuting with the pointwise nonlinearity.
     Without the phase vocoder, pitch+speed collapse to the single resample
     (sox ``speed``-style, cheaper) and overdrive precedes it.
+
+    **Fixed-count compaction** (``fixed_count``, default on): when ``p`` is
+    a concrete Python scalar with 0 < p < 1, the chain runs on exactly
+    ``k = round(p*B)`` uniformly-chosen rows (row gather -> chain on the
+    (k, L) sub-batch -> row scatter) instead of computing all B rows and
+    masking — the chain is the augmenter's dominant cost (~68 ms of the
+    92 ms augmenter at B=64 x 10 s) and at the reference recipe's
+    p_aug=0.75 a quarter of it is thrown away by the mask. Per-row marginal
+    probability stays k/B = round(p*B)/B (exactly p when p*B is integral,
+    e.g. 0.75*64=48); only the per-step applied-row COUNT loses its
+    binomial variance (documented in PARITY.md). Per-row effect parameters
+    are drawn for all B rows from the same streams and gathered, so a
+    selected row sees bit-identical parameters to the masked formulation.
+    Traced ``p`` (e.g. a traced epoch scale) falls back to the masked path.
     """
     b, l = wave.shape
     # 7-way split kept (one key unused since the freeverb rewrite) so the
@@ -401,7 +416,6 @@ def effects_chain(
     k_apply, k_rev, k_room, k_pitch, k_gain, k_speed, _ = (
         jax.random.split(key, 7)
     )
-    apply = jax.random.bernoulli(k_apply, jnp.clip(p, 0.0, 1.0), (b,))
 
     reverberance = jax.random.uniform(k_rev, (b,), minval=0.0, maxval=50.0)
     room = jax.random.uniform(k_room, (b,), minval=0.0, maxval=50.0)
@@ -409,21 +423,39 @@ def effects_chain(
     gain = jax.random.uniform(k_gain, (b,), minval=2.0, maxval=10.0)
     speed = jax.random.uniform(k_speed, (b,), minval=0.9, maxval=1.1)
 
-    out, new_len = reverb(wave, lengths, reverberance, room, sr)
-    pitch_factor = jnp.exp2(cents / 1200.0)
-    if use_phase_vocoder:
-        from freesound_classification_tpu.ops.pv import (
-            phase_vocoder_stretch,
-        )
+    def run_chain(w, ln, rev_p, room_p, cents_p, gain_p, speed_p):
+        out, new_len = reverb(w, ln, rev_p, room_p, sr)
+        pitch_factor = jnp.exp2(cents_p / 1200.0)
+        if use_phase_vocoder:
+            from freesound_classification_tpu.ops.pv import (
+                phase_vocoder_stretch,
+            )
 
-        # stretch 1/f (duration x f), then resample f*speed: pitch x f,
-        # total duration /speed — sox pitch-then-speed semantics
-        n_fft = min(1024, max(256, l // 8))
-        out, new_len = phase_vocoder_stretch(
-            out, new_len, 1.0 / pitch_factor, n_fft=n_fft, hop=n_fft // 4)
-    out = overdrive(out, gain)
-    out, new_len = resample_rate(out, new_len, speed * pitch_factor)
+            # stretch 1/f (duration x f), then resample f*speed: pitch x f,
+            # total duration /speed — sox pitch-then-speed semantics
+            n_fft = min(1024, max(256, l // 8))
+            out, new_len = phase_vocoder_stretch(
+                out, new_len, 1.0 / pitch_factor, n_fft=n_fft,
+                hop=n_fft // 4)
+        out = overdrive(out, gain_p)
+        return resample_rate(out, new_len, speed_p * pitch_factor)
 
+    p_static = p if isinstance(p, (int, float)) else None
+    if fixed_count and p_static is not None and 0.0 < p_static < 1.0 and b > 1:
+        k = max(1, min(b, int(round(b * p_static))))
+        sel = jax.random.permutation(k_apply, b)[:k]
+        out, new_len = run_chain(
+            jnp.take(wave, sel, axis=0), jnp.take(lengths, sel, axis=0),
+            jnp.take(reverberance, sel), jnp.take(room, sel),
+            jnp.take(cents, sel), jnp.take(gain, sel),
+            jnp.take(speed, sel))
+        wave_out = wave.at[sel].set(out)
+        len_out = lengths.at[sel].set(new_len.astype(lengths.dtype))
+        return wave_out, len_out
+
+    apply = jax.random.bernoulli(k_apply, jnp.clip(p, 0.0, 1.0), (b,))
+    out, new_len = run_chain(wave, lengths, reverberance, room, cents, gain,
+                             speed)
     wave_out = jnp.where(apply[:, None], out, wave)
     len_out = jnp.where(apply, new_len, lengths)
     return wave_out, len_out.astype(lengths.dtype)
@@ -497,6 +529,10 @@ class AugmentConfig(NamedTuple):
     # pre-shuffle/flip copy of the batch, False from the augmented rows
     mixup_clean_partner: bool = True
     use_phase_vocoder: bool = True
+    # run the effects chain on exactly round(p_aug*B) gathered rows instead
+    # of all B masked (see effects_chain docstring; False = exact per-row
+    # bernoulli count semantics at full compute cost)
+    fixed_count_effects: bool = True
     sr: int = SR
 
 
@@ -540,6 +576,7 @@ def make_augmenter(cfg: AugmentConfig):
             wave, lengths = effects_chain(
                 wave, lengths, keys[3], cfg.p_aug * scale, sr=cfg.sr,
                 use_phase_vocoder=cfg.use_phase_vocoder,
+                fixed_count=cfg.fixed_count_effects,
             )
         if cfg.p_cutout:
             wave = cutout(wave, lengths, keys[4], cfg.p_cutout * scale)

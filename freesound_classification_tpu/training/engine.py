@@ -180,6 +180,12 @@ class Engine:
         augment = self.augment
 
         def train_step(state: TrainState, batch, aug_scale, n_real, partner):
+            # aug_scale is STATIC (a Python float, jit static_argnums): the
+            # switch-off epochs (scale 0) compile a program with no augmenter
+            # at all instead of running the full ~90 ms chain and masking it
+            # out — at scale 0 every bernoulli(p*0) row mask is False, so
+            # skipping the call is bit-exact, and a static scale lets
+            # effects_chain use its fixed-count row compaction (augment.py).
             rng, step_rng, dropout_rng = jax.random.split(state.rng, 3)
             wave = batch["signal"]
             lengths = batch["lengths"]
@@ -187,7 +193,7 @@ class Engine:
             row_mask = (
                 jnp.arange(wave.shape[0], dtype=jnp.int32) < n_real
             )
-            if augment is not None:
+            if augment is not None and aug_scale > 0.0:
                 wave, lengths, labels = augment(
                     wave, lengths, labels, step_rng, aug_scale,
                     partner=partner,
@@ -229,7 +235,8 @@ class Engine:
                 out["probs"] = jax.nn.sigmoid(logits)
             return out
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._train_step = jax.jit(train_step, donate_argnums=(0,),
+                                   static_argnums=(2,))
         self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------
@@ -293,7 +300,7 @@ class Engine:
             partner = self._mixup_pool.get(pool_key, clean) \
                 if self.augment is not None else None
             self.state, out = self._train_step(
-                self.state, device_batch, jnp.float32(aug_scale),
+                self.state, device_batch, float(aug_scale),
                 jnp.int32(n), partner,
             )
             if self.augment is not None:

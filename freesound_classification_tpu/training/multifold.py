@@ -184,7 +184,10 @@ class MultiFoldEngine:
             row_mask = (
                 jnp.arange(wave.shape[0], dtype=jnp.int32) < n_real
             )
-            if augment is not None:
+            # aug_scale is STATIC (see Engine.train_step): scale-0 epochs
+            # compile an augmenter-free program (bit-exact skip) and a
+            # static scale enables effects_chain's fixed-count compaction
+            if augment is not None and aug_scale > 0.0:
                 wave, lengths, labels = augment(
                     wave, lengths, labels, step_rng, aug_scale,
                     partner=partner)
@@ -209,7 +212,8 @@ class MultiFoldEngine:
             return state, loss, metric
 
         vstep = jax.vmap(one_fold_step, in_axes=(0, 0, None, 0, 0))
-        self._vmapped_step = jax.jit(vstep, donate_argnums=(0,))
+        self._vmapped_step = jax.jit(vstep, donate_argnums=(0,),
+                                     static_argnums=(2,))
 
     # ------------------------------------------------------------------
 
@@ -242,7 +246,7 @@ class MultiFoldEngine:
             partner = self._mixup_pool.get(pool_key, clean) \
                 if self.template.augment is not None else clean
             self.states, loss, metric = self._vmapped_step(
-                self.states, device_batch, jnp.float32(aug_scale),
+                self.states, device_batch, float(aug_scale),
                 jnp.asarray(n_real), partner)
             if self.template.augment is not None:
                 self._mixup_pool[pool_key] = clean

@@ -254,6 +254,37 @@ class TestEffects:
         out = augment.overdrive(w, jnp.asarray([2.0, 10.0]))
         assert float(jnp.abs(out).max()) <= 1.01
 
+    def test_fixed_count_matches_full_chain_on_selected_rows(self):
+        """Fixed-count compaction: exactly round(p*B) rows are processed,
+        each bit-matching the p=1 full-batch chain (same key -> same
+        per-row parameters), the rest bit-matching the input."""
+        w, l, _ = _batch(b=4, l=8192, seed=9)
+        full, full_len = augment.effects_chain(w, l, KEY, 1.0, sr=8192)
+        fc, fc_len = augment.effects_chain(w, l, KEY, 0.5, sr=8192,
+                                           fixed_count=True)
+        fc, fc_len = np.asarray(fc), np.asarray(fc_len)
+        wn, fulln = np.asarray(w), np.asarray(full)
+        changed = [i for i in range(4) if not np.array_equal(fc[i], wn[i])]
+        assert len(changed) == 2, f"expected exactly 2 processed rows, got {changed}"
+        for i in range(4):
+            if i in changed:
+                np.testing.assert_allclose(fc[i], fulln[i], atol=1e-6)
+                assert fc_len[i] == int(full_len[i])
+            else:
+                np.testing.assert_array_equal(fc[i], wn[i])
+                assert fc_len[i] == int(l[i])
+
+    def test_traced_p_falls_back_to_masked_path(self):
+        """A traced probability (e.g. traced epoch scale) cannot use the
+        static row count; the bernoulli-masked path must still jit."""
+        w, l, _ = _batch(b=3, l=4096, seed=3)
+        fn = jax.jit(lambda p: augment.effects_chain(w, l, KEY, p, sr=4096))
+        out, ln = fn(jnp.float32(0.7))
+        assert out.shape == w.shape
+        assert np.isfinite(np.asarray(out)).all()
+        out0, ln0 = fn(jnp.float32(0.0))
+        np.testing.assert_array_equal(np.asarray(out0), np.asarray(w))
+
     def test_resample_rate(self):
         t = np.arange(4000) / 4000
         w = jnp.asarray(np.sin(2 * np.pi * 10 * t)[None, :].astype("f4"))

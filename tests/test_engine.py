@@ -117,3 +117,41 @@ class TestEngine:
         preds = engine.predict(train, n_tta=2)
         assert preds.shape == (16, N_CLASSES)
         assert (preds >= 0).all() and (preds <= 1).all()
+
+    def test_static_scale_zero_skips_augmenter_exactly(self):
+        """aug_scale is jit-static: the scale-0 program omits the augmenter
+        entirely, and must produce bit-identical state/loss to an engine
+        built with augment=None (the skip is exact, not approximate)."""
+        from freesound_classification_tpu.ops.augment import (
+            AugmentConfig, make_augmenter,
+        )
+
+        batch = _synthetic_batches(1, 8, seed=6)[0]
+        import jax
+        import jax.numpy as jnp
+
+        results = {}
+        for name, aug in (
+            ("none", None),
+            ("scaled_off", make_augmenter(AugmentConfig(
+                p_mixup=0.5, p_aug=0.5, p_shuffle=0.5, sr=SR))),
+        ):
+            model = TwoDimensionalCNN(
+                num_conv_blocks=2, start_deep_supervision_on=0,
+                conv_base_depth=8, growth_rate=2.0, aggregation_type="max",
+                n_classes=N_CLASSES)
+            frontend = Frontend("mel_256_128_32", "2d", sr=SR)
+            eng = Engine(model, frontend, _train_cfg(), loss="lsep",
+                         augment=aug)
+            eng.make_optimizer(max_steps=2, steps_per_epoch=2)
+            eng.init_state(batch)
+            db, n = eng._prep_batch(batch)
+            partner = (db["signal"], db["lengths"], db.get("labels"))
+            eng.state, out = eng._train_step(
+                eng.state, db, 0.0, jnp.int32(n), partner)
+            results[name] = (float(out["loss"]),
+                             jax.device_get(eng.state.params))
+        assert results["none"][0] == results["scaled_off"][0]
+        for a, b in zip(jax.tree.leaves(results["none"][1]),
+                        jax.tree.leaves(results["scaled_off"][1])):
+            np.testing.assert_array_equal(a, b)

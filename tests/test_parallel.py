@@ -76,7 +76,7 @@ class TestMeshEquivalence:
             losses = []
             for _ in range(3):
                 eng.state, out = eng._train_step(
-                    eng.state, db, jnp.float32(0.0),
+                    eng.state, db, 0.0,
                     jnp.int32(db['signal'].shape[0]), db["signal"])
                 losses.append(float(out["loss"]))
             losses_by_mesh[n] = losses
@@ -98,7 +98,7 @@ class TestMeshEquivalence:
             eng.init_state(batch)
             db, _ = eng._prep_batch(batch)
             eng.state, _ = eng._train_step(
-                eng.state, db, jnp.float32(0.0),
+                eng.state, db, 0.0,
                 jnp.int32(db['signal'].shape[0]), db["signal"])
             stats[n] = jax.device_get(eng.state.batch_stats)
         for a, b in zip(jax.tree.leaves(stats[1]), jax.tree.leaves(stats[8])):

@@ -87,17 +87,21 @@ def main() -> int:
     np.testing.assert_allclose(r[1], np.asarray(wave)[1], atol=3e-3)
     print(f"SMOKE: pallas resample ok  [{time.time()-t0:.0f}s]")
 
-    # 4. Full augmented train-step program (the training hot path) on chip
+    # 4. Full augmented train-step program (the training hot path) on chip.
+    # p_aug=0.75 exercises the PRODUCTION fixed-count compaction: row
+    # gather -> Pallas kernels on the k=3 sub-batch -> row scatter (the
+    # masked full-B kernel path is covered by sections 3/5 and 4b).
     from freesound_classification_tpu.ops import augment
 
     key = jax.random.PRNGKey(1)
-    cfg = augment.AugmentConfig(p_mixup=1.0, p_aug=1.0, p_shuffle=1.0)
+    cfg = augment.AugmentConfig(p_mixup=1.0, p_aug=0.75, p_shuffle=1.0)
     augmenter = augment.make_augmenter(cfg)
     aug = jax.jit(lambda w, ln, y, k: augmenter(w, ln, y, k, 1.0))
     aug_w, _, _ = aug(wave, lengths, jnp.zeros((4, 80)), key)
     a = np.asarray(aug_w)
     assert np.isfinite(a).all(), "non-finite augmented audio"
-    print(f"SMOKE: augment chain ok  [{time.time()-t0:.0f}s]")
+    print(f"SMOKE: augment chain ok (fixed-count k=3/4)  "
+          f"[{time.time()-t0:.0f}s]")
 
     # 4b. Fold-vmapped augmenter (the multifold train path). JAX's automatic
     # pallas batching breaks on the kernels' 1-D SMEM operands under Mosaic;
