@@ -163,11 +163,19 @@ def _pv_stretch_impl(
         syn = pv_resynth_pallas(
             mag, dphi_in, phase[:, 0], rate, jnp.asarray(icos),
             jnp.asarray(isin), n_fft, t_out,
-        ).astype(jnp.float32)  # (B, t_out, n_fft)
+        )  # (B, t_out, n_fft) bf16 — stays bf16: the f32 cast materialized
+        # a 452 MB copy that dominated the OLA tail (round-5 breakdown,
+        # scripts/probe_pv_breakdown.py: 14.7 of 33.9 ms in the tail)
         chunks = syn.reshape(b, t_out, r, hop)
-        out = jnp.zeros((b, ola_frames, hop), jnp.float32)
-        for o in range(r):
-            out = out.at[:, o : o + t_out].add(chunks[:, :, o])
+        # OLA as ONE fused pad-and-add tree (identical summands and f32
+        # accumulation order as the former 4 serialized .at[o:o+t_out].add
+        # passes, but XLA fuses pads+converts+adds into a single pass over
+        # the synthesis buffer instead of 4 read-modify-write sweeps)
+        out = sum(
+            jnp.pad(chunks[:, :, o].astype(jnp.float32),
+                    ((0, 0), (o, r - 1 - o), (0, 0)))
+            for o in range(r)
+        )
     else:
         pos = jnp.arange(t_out)[None, :] * rate[:, None]  # (B, t_out)
         i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, t_in - 2)
@@ -193,8 +201,9 @@ def _pv_stretch_impl(
         out_im = (mags * jnp.sin(phis)).astype(jnp.bfloat16)
 
         # synthesis: windowed inverse rDFT as MXU matmuls, emitted per
-        # hop-sized column block and overlap-added with static shifted adds
-        out = jnp.zeros((b, ola_frames, hop), jnp.float32)
+        # hop-sized column block and overlap-added as one fused pad-and-add
+        # tree (same summands/order as shifted .at[].add passes, one sweep)
+        out = None
         for o in range(r):
             chunk = jnp.einsum(
                 "btf,fh->bth", out_re,
@@ -207,7 +216,8 @@ def _pv_stretch_impl(
                     jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
-            out = out.at[:, o : o + t_out].add(chunk)
+            part = jnp.pad(chunk, ((0, 0), (o, r - 1 - o), (0, 0)))
+            out = part if out is None else out + part
     out = out.reshape(b, ola_len)
 
     # window-squared normalization — data-independent, computed at trace time
