@@ -254,9 +254,10 @@ def _dft_basis(n_fft: int, hop_size: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_fft", "hop_size", "precision"))
+                   static_argnames=("n_fft", "hop_size", "precision",
+                                    "form"))
 def stft_spectrum_dft(x: jnp.ndarray, n_fft: int, hop_size: int,
-                      precision: str = "high"):
+                      precision: str = "high", form: str = "einsum"):
     """(re, im) one-sided spectra of (..., L) -> each (..., T, F).
 
     MXU formulation of the windowed STFT: center-reflect pad, view the
@@ -269,6 +270,18 @@ def stft_spectrum_dft(x: jnp.ndarray, n_fft: int, hop_size: int,
     (~3x the high-precision throughput, ~4e-3 relative spectrum error) —
     appropriate whenever the consumer quantizes to bf16 anyway, as every
     bf16 model in this framework does at its input cast.
+
+    ``form`` picks the lowering of the same contraction. "einsum" (the
+    m shifted-view matmuls above) relies on an XLA rewrite that turns the
+    shift-and-add pattern back into a convolution — a rewrite that fires
+    when the spectra are the program's outputs but NOT when a Pallas
+    custom-call consumes them (the composed PV program then materializes
+    all m shifted views as ~113 MB copies: 8 copies x 0.8 ms at 64 x 10 s,
+    scripts/probe_pv_context.py). "conv" emits the strided convolution
+    explicitly — out[t, f] = sum_n xp[t*hop + n] * basis[n, f] via
+    lax.conv_general_dilated — so the good lowering is context-independent.
+    Same basis, same per-product rounding; only the f32 accumulation
+    grouping differs (one n_fft-tap accumulator vs m partial sums).
     """
     pad = n_fft // 2
     pad_width = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
@@ -288,9 +301,30 @@ def stft_spectrum_dft(x: jnp.ndarray, n_fft: int, hop_size: int,
             xp, [(0, 0)] * (x.ndim - 1)
             + [(0, (n_frames + m - 1 - n_blocks) * hop_size)])
         n_blocks = n_frames + m - 1
-    blocks = xp.reshape(*xp.shape[:-1], n_blocks, hop_size)
-
     cos_b, sin_b = _dft_basis(n_fft, hop_size)
+
+    if form == "conv":
+        lead = xp.shape[:-1]
+        rows = 1
+        for d in lead:
+            rows *= d
+        # only the frames that exist are needed: trim to the exact support
+        need = (n_frames - 1) * hop_size + n_fft
+        sig = xp.reshape(rows, -1)[:, :need, None]  # (rows, W, C=1) NWC
+        dn = jax.lax.conv_dimension_numbers(
+            sig.shape, (n_fft, 1, 1), ("NWC", "WIO", "NWC"))
+        outs = []
+        for basis in (cos_b, sin_b):
+            rhs = jnp.asarray(basis.reshape(n_fft, n_bins := basis.shape[-1])
+                              )[:, None, :]  # (W=n_fft, I=1, O=F)
+            outs.append(jax.lax.conv_general_dilated(
+                sig, rhs, window_strides=(hop_size,), padding="VALID",
+                dimension_numbers=dn, precision=precision,
+                preferred_element_type=jnp.float32))
+        re, im = (o.reshape(*lead, n_frames, o.shape[-1]) for o in outs)
+        return re, im
+
+    blocks = xp.reshape(*xp.shape[:-1], n_blocks, hop_size)
     re = None
     im = None
     for o in range(m):

@@ -264,7 +264,7 @@ def resample_linear_pallas(wave: jnp.ndarray, factor: jnp.ndarray
 
 
 # ---------------------------------------------------------------------------
-# Fused phase-vocoder resynthesis
+# Fused phase-vocoder resynthesis (+ in-kernel overlap-add)
 #
 # The PV stretch's output-domain middle (frame interpolation gathers, the
 # sequential phase accumulation, sin/cos, and the inverse-DFT synthesis
@@ -276,6 +276,15 @@ def resample_linear_pallas(wave: jnp.ndarray, factor: jnp.ndarray
 # against the windowed inverse-rDFT basis on the MXU. As separate XLA ops
 # this stage cost ~22 ms at 64 x 10 s (gathers 12.3, cumsum 6.4,
 # sincos 2.3); fused it is HBM-traffic bound on the analysis tiles alone.
+#
+# The windowed overlap-add runs INSIDE the kernel too (round-2): frame k's
+# hop-wide chunk o lands on OLA row k+o, so per tile the OLA is r exact
+# shift matmuls (one-hot shift matrices x bf16-exact chunk values; single
+# bf16 MXU passes are exact here) plus an incomplete-top-rows carry into
+# the next grid step. Writing OLA'd (rows, hop) f32 instead of raw
+# (frames, n_fft) bf16 frames halves the kernel's HBM writes AND deletes
+# the former 226 MB syn-buffer round trip through the XLA pad-add tail
+# (9.6 of PV's 28.7 ms at 64 x 10 s; probe_pv_breakdown.py).
 # ---------------------------------------------------------------------------
 
 _PV_TM = 128  # output frames per grid step
@@ -285,9 +294,9 @@ _PV_TILE_IN = 184
 _PV_MAX_RATE = 1.3  # supported stretch position step (aug uses <= 1.19)
 
 
-def _pv_resynth_kernel(t_in_real, rate_ref, mag_hbm, dphi_hbm, phase0_ref,
-                       icos_ref, isin_ref, out_ref,
-                       mag_tiles, dphi_tiles, carry, sems):
+def _pv_resynth_kernel(t_in_real, hop, rate_ref, mag_hbm, dphi_hbm,
+                       phase0_ref, icos_ref, isin_ref, out_ref,
+                       mag_tiles, dphi_tiles, carry, ola_carry, sems):
     b = pl.program_id(0)
     t = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -321,6 +330,7 @@ def _pv_resynth_kernel(t_in_real, rate_ref, mag_hbm, dphi_hbm, phase0_ref,
         m0.start()
         d0.start()
         carry[:] = phase0_ref[0]
+        ola_carry[:] = jnp.zeros(ola_carry.shape, ola_carry.dtype)
 
     # double buffering: start the next tile's DMAs before waiting on the
     # current ones (its slot was drained two steps ago)
@@ -391,18 +401,56 @@ def _pv_resynth_kernel(t_in_real, rate_ref, mag_hbm, dphi_hbm, phase0_ref,
         jnp.dot(out_re, icos_ref[:], preferred_element_type=jnp.float32)
         + jnp.dot(out_im, isin_ref[:], preferred_element_type=jnp.float32)
     )
-    out_ref[0] = syn.astype(jnp.bfloat16)
+    # bf16 round-trip preserves the former HBM-buffer quantization exactly,
+    # so the fused OLA below is numerically the old XLA pad-add tail
+    synb = syn.astype(jnp.bfloat16)
+
+    # Overlap-add within the tile: OLA row k (hop samples) sums frame k-o's
+    # chunk o. Expressed as r exact shift matmuls — S_o[j, i] = [i == j - o]
+    # one-hots picking bf16-exact values accumulate exactly in the MXU's
+    # f32 accumulator even under Mosaic's single-bf16-pass default — plus a
+    # carry of the top rows' previous-tile contributions (P_o picks i =
+    # TM + j - o, nonzero only for j < o <= r-1).
+    tm = out_ref.shape[1]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 1)
+    r = icos_ref.shape[1] // hop
+    acc = None
+    carry_acc = None
+    for o in range(r):
+        chunk = synb[:, o * hop:(o + 1) * hop]
+        if o == 0:
+            shifted = chunk.astype(jnp.float32)
+        else:
+            shifted = jnp.dot((ii == jj - o).astype(jnp.bfloat16), chunk,
+                              preferred_element_type=jnp.float32)
+            pc = jnp.dot((ii == tm + jj - o).astype(jnp.bfloat16), chunk,
+                         preferred_element_type=jnp.float32)
+            carry_acc = pc if carry_acc is None else carry_acc + pc
+        acc = shifted if acc is None else acc + shifted
+    out_ref[0] = acc + ola_carry[:]
+    ola_carry[:] = carry_acc
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "t_out", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_fft", "t_out", "hop", "interpret"))
 def _pv_resynth(mag, dphi_in, phase0, rate, icos, isin, n_fft: int,
-                t_out: int, interpret: bool = False):
-    """(B, t_in, F) mag + (B, t_in-1, F) dphi -> (B, t_out, n_fft) bf16
-    windowed synthesis frames (irfft(mags*e^{i phis}) * window)."""
+                t_out: int, hop: int, interpret: bool = False):
+    """(B, t_in, F) mag + (B, t_in-1, F) dphi -> (B, t_out + n_fft//hop - 1,
+    hop) f32 OLA rows: the windowed synthesis frames
+    irfft(mags*e^{i phis}) * window, overlap-added in-kernel (frame k's
+    chunk o lands on row k+o); reshape to (B, ola_len) and normalize by the
+    window-squared sum outside. Requires hop % 128 == 0 and
+    n_fft % hop == 0 (ops/pv.py routes away otherwise)."""
     b, t_in, f = mag.shape
+    r = n_fft // hop
+    rows_total = t_out + r - 1
     f_pad = _round_up(f, 128)
     t_in_pad = _round_up(max(t_in, _PV_TILE_IN), 8)
-    t_out_pad = _round_up(t_out, _PV_TM)
+    # grid covers every OLA row; tiles past t_out synthesize clamped ghost
+    # frames whose rows land beyond rows_total (or are crop-dead: the
+    # n_fft//2 crop never reads rows >= t_out; see ops/pv.py)
+    t_out_pad = _round_up(rows_total, _PV_TM)
 
     mag_p = jnp.pad(
         mag.astype(jnp.float32),
@@ -420,7 +468,7 @@ def _pv_resynth(mag, dphi_in, phase0, rate, icos, isin, n_fft: int,
         isin.astype(jnp.bfloat16), ((0, f_pad - f), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_pv_resynth_kernel, t_in),
+        functools.partial(_pv_resynth_kernel, t_in, hop),
         grid=(b, t_out_pad // _PV_TM),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # rate
@@ -434,29 +482,30 @@ def _pv_resynth(mag, dphi_in, phase0, rate, icos, isin, n_fft: int,
                          memory_space=pltpu.VMEM),  # isin
         ],
         out_specs=pl.BlockSpec(
-            (1, _PV_TM, n_fft), lambda i, t: (i, t, 0),
+            (1, _PV_TM, hop), lambda i, t: (i, t, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t_out_pad, n_fft), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((b, t_out_pad, hop), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, _PV_TILE_IN, f_pad), jnp.float32),
             pltpu.VMEM((2, _PV_TILE_IN, f_pad), jnp.float32),
             pltpu.VMEM((1, f_pad), jnp.float32),
+            pltpu.VMEM((_PV_TM, hop), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t_out_pad * f_pad * (2 * _PV_TILE_IN + 2 * n_fft),
             bytes_accessed=4 * b * (
                 2 * (t_out_pad // _PV_TM) * _PV_TILE_IN * f_pad
-                + t_out_pad * n_fft),
+                + t_out_pad * hop),
             transcendentals=2 * b * t_out_pad * f_pad,
         ),
         interpret=interpret,
     )(rate.astype(jnp.float32), mag_p, dphi_p, phase0_p, icos_p, isin_p)
-    return out[:, :t_out]
+    return out[:, :rows_total]
 
 
 @functools.lru_cache(maxsize=16)
-def _pv_resynth_vmappable(n_fft: int, t_out: int, interpret: bool):
+def _pv_resynth_vmappable(n_fft: int, t_out: int, hop: int, interpret: bool):
     """Vmap-safe PV resynthesis (same story as _resample_vmappable: the
     1-D SMEM ``rate`` operand breaks under automatic pallas batching, and
     rows are independent so the mapped axis folds into the batch dim).
@@ -466,7 +515,7 @@ def _pv_resynth_vmappable(n_fft: int, t_out: int, interpret: bool):
     @custom_batching.custom_vmap
     def fn(mag, dphi_in, phase0, rate, icos, isin):
         return _pv_resynth(mag, dphi_in, phase0, rate, icos, isin,
-                           n_fft, t_out, interpret=interpret)
+                           n_fft, t_out, hop, interpret=interpret)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, mag, dphi_in, phase0, rate,
@@ -488,9 +537,10 @@ def _pv_resynth_vmappable(n_fft: int, t_out: int, interpret: bool):
 
 
 def pv_resynth_pallas(mag, dphi_in, phase0, rate, icos, isin, n_fft: int,
-                      t_out: int):
-    """Fused PV resynthesis; off-TPU runs interpreted (see ops/pv.py)."""
-    return _pv_resynth_vmappable(n_fft, t_out, not _on_tpu())(
+                      t_out: int, hop: int):
+    """Fused PV resynthesis + in-kernel OLA -> (B, t_out + n_fft//hop - 1,
+    hop) f32 rows; off-TPU runs interpreted (see ops/pv.py)."""
+    return _pv_resynth_vmappable(n_fft, t_out, hop, not _on_tpu())(
         mag, dphi_in, phase0, rate, icos, isin)
 
 

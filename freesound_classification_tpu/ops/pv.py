@@ -90,6 +90,7 @@ def phase_vocoder_stretch(
     t_in = num_stft_frames(l, n_fft, hop)
     use_kernel = (
         _on_tpu() and t_in >= _PV_TILE_IN
+        and hop % 128 == 0 and n_fft % hop == 0
         and static_bound_exceeded(rate, _PV_MAX_RATE) is not True
     )
     return _pv_stretch_impl(wave, lengths, rate, n_fft, hop, use_kernel,
@@ -156,25 +157,16 @@ def _pv_stretch_impl(
 
     if use_kernel:
         # fused Pallas resynthesis: interpolation matmuls, single-pass phase
-        # carry, sincos, and the inverse-DFT contraction in one VMEM-resident
-        # kernel (the unfused XLA ops below cost ~29 ms at 64 x 10 s; rates
-        # above pallas_kernels._PV_MAX_RATE fall outside the per-tile
-        # analysis window and synthesize silence)
-        syn = pv_resynth_pallas(
+        # carry, sincos, the inverse-DFT contraction AND the windowed
+        # overlap-add in one VMEM-resident kernel (the unfused XLA ops below
+        # cost ~29 ms at 64 x 10 s; rates above pallas_kernels._PV_MAX_RATE
+        # fall outside the per-tile analysis window and synthesize silence).
+        # Returns (B, ola_frames, hop) f32 OLA rows directly — the former
+        # (B, t_out, n_fft) bf16 syn buffer + XLA pad-add tail cost 9.6 ms
+        # of PV's 28.7 in a 226 MB HBM round trip (probe_pv_breakdown.py)
+        out = pv_resynth_pallas(
             mag, dphi_in, phase[:, 0], rate, jnp.asarray(icos),
-            jnp.asarray(isin), n_fft, t_out,
-        )  # (B, t_out, n_fft) bf16 — stays bf16: the f32 cast materialized
-        # a 452 MB copy that dominated the OLA tail (round-5 breakdown,
-        # scripts/probe_pv_breakdown.py: 14.7 of 33.9 ms in the tail)
-        chunks = syn.reshape(b, t_out, r, hop)
-        # OLA as ONE fused pad-and-add tree (identical summands and f32
-        # accumulation order as the former 4 serialized .at[o:o+t_out].add
-        # passes, but XLA fuses pads+converts+adds into a single pass over
-        # the synthesis buffer instead of 4 read-modify-write sweeps)
-        out = sum(
-            jnp.pad(chunks[:, :, o].astype(jnp.float32),
-                    ((0, 0), (o, r - 1 - o), (0, 0)))
-            for o in range(r)
+            jnp.asarray(isin), n_fft, t_out, hop,
         )
     else:
         pos = jnp.arange(t_out)[None, :] * rate[:, None]  # (B, t_out)

@@ -95,7 +95,7 @@ def main():
     def stage_c(mag, dphi_in, phase0, rate):
         return pv_resynth_pallas(
             mag, dphi_in, phase0, rate, jnp.asarray(icos),
-            jnp.asarray(isin), N_FFT, t_out)
+            jnp.asarray(isin), N_FFT, t_out, HOP)
 
     @jax.jit
     def full(w, ln, r):

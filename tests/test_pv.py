@@ -128,10 +128,11 @@ class TestPallasResynth:
         ) + expected[None, None, :]
         icos, isin = _synthesis_basis(n_fft)
 
-        syn_k = np.asarray(pk._pv_resynth(
+        rows_k = np.asarray(pk._pv_resynth(
             mag, dphi_in, phase[:, 0], rate, jnp.asarray(icos),
-            jnp.asarray(isin), n_fft, t_out, interpret=True,
-        )).astype(np.float64)
+            jnp.asarray(isin), n_fft, t_out, hop, interpret=True,
+        )).astype(np.float64)  # (b, t_out + r - 1, hop) OLA'd rows
+        n_chunks = n_fft // hop
 
         # golden middle with kernel-identical f32 position arithmetic
         for i in range(b):
@@ -146,12 +147,21 @@ class TestPallasResynth:
             phis = np.asarray(phase[i, 0])[None, :] + np.vstack(
                 [np.zeros((1, m.shape[1])), cum[:-1]])
             gold = (mags * np.cos(phis)) @ icos + (mags * np.sin(phis)) @ isin
-            # frames whose analysis position stays strictly interior (the
-            # tail clip past t_in-2 is a documented divergence in frames
-            # that land beyond the valid stretched length)
-            interior = pos < t_in - 2
-            err = np.abs(syn_k[i][interior] - gold[interior])
-            rel = err.max() / max(np.abs(gold[interior]).max(), 1e-9)
+            # overlap-add the golden frames the way the kernel does: frame
+            # k's hop-wide chunk o lands on OLA row k + o
+            gold_rows = np.zeros((t_out + n_chunks - 1, hop))
+            for o in range(n_chunks):
+                gold_rows[o:o + t_out] += gold[:, o * hop:(o + 1) * hop]
+            # rows all of whose contributing frames have strictly interior
+            # analysis positions (the tail clip past t_in-2 is a documented
+            # divergence in frames beyond the valid stretched length); rows
+            # >= t_out also sum kernel ghost frames the golden lacks
+            last_ok = int(np.searchsorted(pos, t_in - 2)) - 1
+            interior_rows = min(last_ok + 1, t_out)  # rows 0..interior-1
+            err = np.abs(rows_k[i][:interior_rows]
+                         - gold_rows[:interior_rows])
+            rel = err.max() / max(np.abs(gold_rows[:interior_rows]).max(),
+                                  1e-9)
             # bf16 spectra into the synthesis dots (both here and
             # in the XLA path) put ~3e-2 worst-case deviation vs
             # this f64 golden

@@ -78,12 +78,27 @@ class TestPVDomainGuard:
 
         monkeypatch.setattr(pallas_kernels, "_on_tpu", lambda: True)
         monkeypatch.setattr(pallas_kernels, "pv_resynth_pallas", boom)
-        wave = self._tone()
-        lengths = jnp.asarray([16384], jnp.int32)
+        wave = self._tone(65536)
+        lengths = jnp.asarray([65536], jnp.int32)
         with pytest.raises(AssertionError, match="kernel reached"):
             pv.phase_vocoder_stretch(
                 wave, lengths, jnp.asarray([1.1], jnp.float32),
-                n_fft=256, hop=64)
+                n_fft=1024, hop=256)
+
+    def test_lane_unaligned_hop_routes_to_xla(self, monkeypatch):
+        # the in-kernel OLA writes (rows, hop) blocks, so hop must be a
+        # full 128-lane multiple; anything else must take the XLA path
+        def boom(*a, **k):
+            raise AssertionError("kernel path used for unaligned hop")
+
+        monkeypatch.setattr(pallas_kernels, "_on_tpu", lambda: True)
+        monkeypatch.setattr(pallas_kernels, "pv_resynth_pallas", boom)
+        wave = self._tone()
+        lengths = jnp.asarray([16384], jnp.int32)
+        out, _ = pv.phase_vocoder_stretch(
+            wave, lengths, jnp.asarray([1.1], jnp.float32),
+            n_fft=256, hop=64)
+        assert np.isfinite(np.asarray(out)).all()
 
 
 class TestSSLEvalPaddingExact:
