@@ -172,6 +172,25 @@ def main():
         out = infer_5fold(wave, ln)
     float(jnp.sum(out))
 
+    # FLOP / HBM-byte totals from XLA's own compiled cost analysis, summed
+    # over every executed program (compiles are cached — the jit above
+    # already built each shape). "flops" counts each MAC as 2; with a bf16
+    # model the convs/matmuls dominate, so MFU is vs the v5e bf16 MXU peak.
+    total_flops = 0.0
+    total_bytes = 0.0
+    cost_by_shape: dict = {}
+    try:
+        for wave, ln in batches:
+            shape = wave.shape
+            if shape not in cost_by_shape:
+                cost_by_shape[shape] = (
+                    infer_5fold.lower(wave, ln).compile().cost_analysis())
+            ca = cost_by_shape[shape]
+            total_flops += float(ca.get("flops", 0.0))
+            total_bytes += float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        total_flops = total_bytes = 0.0  # cost analysis backend-dependent
+
     # timed: the full 5-fold ensemble over the whole test set
     t0 = time.time()
     for wave, ln in batches:
@@ -183,12 +202,21 @@ def main():
     print(f"# pad_fraction={pad_fraction:.4f} "
           f"({n_rows - N_CLIPS} filler rows of {n_rows}; reported "
           "clips/s undercounts by this fraction)", flush=True)
-    print(json.dumps({
+    record = {
         "metric": "5fold_melcnn_inference_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 2),
-    }))
+    }
+    if total_flops > 0:
+        # v5e-1 peaks: 197 TFLOP/s bf16 MXU, 819 GB/s HBM. mfu = achieved
+        # FLOP/s (XLA cost analysis over every executed program / wall
+        # time) vs MXU peak; hbm_gbps = the same programs' "bytes accessed"
+        # per second — an upper bound on true HBM traffic (it counts
+        # fusion-internal accesses), so utilization is judged conservative.
+        record["mfu"] = round(total_flops / dt / 197e12, 4)
+        record["hbm_gbps"] = round(total_bytes / dt / 1e9, 1)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

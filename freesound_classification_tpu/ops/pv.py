@@ -90,7 +90,9 @@ def phase_vocoder_stretch(
     t_in = num_stft_frames(l, n_fft, hop)
     use_kernel = (
         _on_tpu() and t_in >= _PV_TILE_IN
-        and hop % 128 == 0 and n_fft % hop == 0
+        # n_fft // hop >= 2: at r == 1 the kernel has no overlap carry and
+        # its ola_carry write would fail at trace time (advisor r2)
+        and hop % 128 == 0 and n_fft % hop == 0 and n_fft // hop >= 2
         and static_bound_exceeded(rate, _PV_MAX_RATE) is not True
     )
     return _pv_stretch_impl(wave, lengths, rate, n_fft, hop, use_kernel,

@@ -135,10 +135,6 @@ def main():
     timed(jax.jit(pads), mag, dphi_in, label="pads alone (640-lane copies)")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def extra():
     b, l = 64, SR * 10
     rng = np.random.RandomState(0)
@@ -189,3 +185,5 @@ if __name__ == "__main__":
     import sys
     if len(sys.argv) > 1 and sys.argv[1] == "extra":
         extra()
+    else:
+        main()

@@ -58,6 +58,28 @@ class TestStftParity:
             assert mag.shape[-1] == dsp.num_stft_frames(length, 2048, 1024)
 
 
+class TestStftForms:
+    @pytest.mark.parametrize("n_fft,hop", [(512, 256), (1024, 256)])
+    @pytest.mark.parametrize("precision", ["high", "default"])
+    def test_conv_form_matches_einsum(self, n_fft, hop, precision):
+        """form="conv" is the context-independent lowering of the same
+        contraction (one strided conv vs m shifted-view matmuls); same
+        basis, same per-product rounding, only the f32 accumulation
+        grouping differs (advisor r2: the conv path had no parity test)."""
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(3, 10000).astype(np.float32))
+        re_e, im_e = dsp.stft_spectrum_dft(
+            x, n_fft, hop, precision=precision, form="einsum")
+        re_c, im_c = dsp.stft_spectrum_dft(
+            x, n_fft, hop, precision=precision, form="conv")
+        assert re_c.shape == re_e.shape and im_c.shape == im_e.shape
+        scale = float(np.abs(re_e).max())
+        np.testing.assert_allclose(
+            np.asarray(re_c) / scale, np.asarray(re_e) / scale, atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(im_c) / scale, np.asarray(im_e) / scale, atol=2e-6)
+
+
 class TestMelFilterbank:
     def test_shape_and_coverage(self):
         fb = dsp.mel_filterbank(sr=44100, n_fft=2048, n_mels=128, fmin=5.0)

