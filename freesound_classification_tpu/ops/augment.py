@@ -29,9 +29,12 @@ Components and their reference counterparts:
                         a combined pitch+speed resample
                         (factor speed * 2^(cents/1200)).
 
-Probabilities are multiplied by a traced ``scale`` so the epoch-gated
-switch-off (reference Compose.switch_off_augmentations, transforms.py:362-365)
-is a scalar input, not a recompile.
+Probabilities are multiplied by a jit-STATIC ``scale`` (values only 0.0/1.0
+in practice): the epoch-gated switch-off (reference
+Compose.switch_off_augmentations, transforms.py:362-365) compiles a separate
+augmenter-free program — a bit-exact skip, tested vs augment=None — and a
+static 0<p<1 lets ``effects_chain`` use fixed-count row compaction
+(PARITY.md "fixed-count effects compaction").
 """
 
 from __future__ import annotations

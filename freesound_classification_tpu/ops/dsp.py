@@ -255,9 +255,10 @@ def _dft_basis(n_fft: int, hop_size: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_fft", "hop_size", "precision",
-                                    "form"))
+                                    "form", "pad_bins_to", "pad_frames_to"))
 def stft_spectrum_dft(x: jnp.ndarray, n_fft: int, hop_size: int,
-                      precision: str = "high", form: str = "einsum"):
+                      precision: str = "high", form: str = "einsum",
+                      pad_bins_to: int = 0, pad_frames_to: int = 0):
     """(re, im) one-sided spectra of (..., L) -> each (..., T, F).
 
     MXU formulation of the windowed STFT: center-reflect pad, view the
@@ -282,12 +283,22 @@ def stft_spectrum_dft(x: jnp.ndarray, n_fft: int, hop_size: int,
     lax.conv_general_dilated — so the good lowering is context-independent.
     Same basis, same per-product rounding; only the f32 accumulation
     grouping differs (one n_fft-tap accumulator vs m partial sums).
+
+    ``pad_bins_to`` / ``pad_frames_to`` emit lane/sublane-ALIGNED spectra
+    directly from the contraction: extra bin columns come from zero basis
+    columns (re = im = 0 there), extra frame rows analyze the zero-extended
+    signal tail. A Pallas consumer with (8, 128)-grid DMA requirements
+    (ops/pv.py) then reads the arrays as produced — the former separate
+    jnp.pad relayouts cost ~1 GB of HBM round trips at 64 x 10 s (round-2
+    VERDICT weak #5 / probe_pv_context.py). Values at real bins/frames are
+    bit-identical to the unpadded call (same summands, same order).
     """
     pad = n_fft // 2
     pad_width = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
     xp = jnp.pad(x.astype(jnp.float32), pad_width, mode="reflect")
     length = x.shape[-1]
     n_frames = num_stft_frames(length, n_fft, hop_size)
+    n_frames = max(n_frames, pad_frames_to)
     m = n_fft // hop_size
 
     total = xp.shape[-1]
@@ -302,6 +313,14 @@ def stft_spectrum_dft(x: jnp.ndarray, n_fft: int, hop_size: int,
             + [(0, (n_frames + m - 1 - n_blocks) * hop_size)])
         n_blocks = n_frames + m - 1
     cos_b, sin_b = _dft_basis(n_fft, hop_size)
+    if pad_bins_to > cos_b.shape[-1]:
+        # trace-time numpy: zero basis columns make the contraction emit
+        # the lane padding for free (re = im = 0 at ghost bins)
+        import numpy as _np
+
+        extra = [(0, 0), (0, 0), (0, pad_bins_to - cos_b.shape[-1])]
+        cos_b = _np.pad(cos_b, extra)
+        sin_b = _np.pad(sin_b, extra)
 
     if form == "conv":
         lead = xp.shape[:-1]

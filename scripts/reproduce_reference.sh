@@ -17,6 +17,8 @@
 # Optional env:
 #   EPOCHS=100           reference augmented-recipe epochs (lower to smoke)
 #   NOISY_EPOCHS=150     reference noisy-round epochs
+#   BATCH_SIZE=20        reference batch size (lower for smoke datasets
+#                        whose folds hold fewer than 20 clips per bucket)
 #   DEVICE=tpu           tpu|cpu
 #   FOLD_PARALLEL=1      train all 5 folds as one vmapped program (set 0 for
 #                        the reference's sequential fold loop)
@@ -29,6 +31,7 @@ set -euo pipefail
 DATA_DIR=${DATA_DIR:?set DATA_DIR to the FSDKaggle2019 root}
 EPOCHS=${EPOCHS:-100}
 NOISY_EPOCHS=${NOISY_EPOCHS:-150}
+BATCH_SIZE=${BATCH_SIZE:-20}
 DEVICE=${DEVICE:-tpu}
 FOLD_PARALLEL=${FOLD_PARALLEL:-0}
 REPO=$(cd "$(dirname "$0")/.." && pwd)
@@ -57,7 +60,7 @@ $PY -m freesound_classification_tpu.cli.train_2d_cnn \
   --folds 0 1 2 3 4 \
   --n_folds 5 \
   --log_interval 10 \
-  --batch_size 20 \
+  --batch_size "$BATCH_SIZE" \
   --epochs "$EPOCHS" \
   --accumulation_steps 1 \
   --save_every 20 \
@@ -125,7 +128,7 @@ $PY -m freesound_classification_tpu.cli.train_2d_cnn \
   --folds 0 1 2 3 4 \
   --n_folds 5 \
   --log_interval 10 \
-  --batch_size 20 \
+  --batch_size "$BATCH_SIZE" \
   --epochs "$NOISY_EPOCHS" \
   --accumulation_steps 1 \
   --save_every 20 \

@@ -166,3 +166,57 @@ class TestPallasResynth:
             # in the XLA path) put ~3e-2 worst-case deviation vs
             # this f64 golden
             assert rel < 0.05, rel
+
+
+class TestAlignedKernelPath:
+    """The aligned-prologue kernel route (ops/pv.py use_kernel branch):
+    spectra emitted on the DMA grid directly (pad_bins_to/pad_frames_to),
+    ghost rows/bins never read. Runs the Pallas kernel in interpret mode on
+    the CPU backend; the hardware twin is tpu_smoke.py section 5."""
+
+    def test_full_stretch_matches_xla_path(self):
+        from freesound_classification_tpu.ops import pv
+
+        rng = np.random.RandomState(1)
+        b, l = 2, 65536
+        n_fft, hop = 1024, 256
+        t = np.arange(l) / 44100.0
+        wave = jnp.asarray(np.stack([
+            np.sin(2 * np.pi * 440.0 * t),
+            np.sin(2 * np.pi * 220.0 * t) + 0.1 * rng.randn(l),
+        ]).astype(np.float32))
+        lengths = jnp.asarray([l, l - 5000], jnp.int32)
+        rate = jnp.asarray([0.9, 1.15], jnp.float32)
+
+        out_k, len_k = pv._pv_stretch_impl(
+            wave, lengths, rate, n_fft, hop, use_kernel=True)
+        out_x, len_x = pv._pv_stretch_impl(
+            wave, lengths, rate, n_fft, hop, use_kernel=False)
+        out_k, out_x = np.asarray(out_k), np.asarray(out_x)
+        assert (np.asarray(len_k) == np.asarray(len_x)).all()
+        assert np.isfinite(out_k).all()
+        for i in range(b):
+            n = int(np.asarray(len_k)[i])
+            a, c = out_k[i, : n - 2 * n_fft], out_x[i, : n - 2 * n_fft]
+            corr = float(np.corrcoef(a, c)[0, 1])
+            assert corr > 0.98, f"row {i}: corr {corr}"
+
+    def test_prologue_forms_agree_through_kernel(self):
+        """einsum vs conv prologue feed the same kernel — outputs must
+        agree to fp-reassociation tolerance."""
+        from freesound_classification_tpu.ops import pv
+
+        rng = np.random.RandomState(2)
+        b, l = 2, 65536
+        wave = jnp.asarray(rng.randn(b, l).astype("f4") * 0.1)
+        lengths = jnp.full((b,), l, jnp.int32)
+        rate = jnp.asarray([0.95, 1.1], jnp.float32)
+        out_e, _ = pv._pv_stretch_impl(
+            wave, lengths, rate, 1024, 256, use_kernel=True,
+            prologue_form="einsum")
+        out_c, _ = pv._pv_stretch_impl(
+            wave, lengths, rate, 1024, 256, use_kernel=True,
+            prologue_form="conv")
+        a, c = np.asarray(out_e), np.asarray(out_c)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, c / scale, atol=5e-3)
