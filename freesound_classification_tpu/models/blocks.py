@@ -26,6 +26,26 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30
 
+# Backward implementation for the towers' non-overlapping MaxPool(2):
+# "xla" = reduce_window's derived select-and-scatter VJP (PRODUCTION);
+# "masked" = ops/pooling.py custom VJP (elementwise first-max routing,
+# bit-exact vs select-and-scatter incl. ties, tests/test_pooling.py) —
+# measured SLOWER on v5e in both formulations (strided-subgrid 61.8 ms,
+# repeat+unit-shift 17.2 ms vs select-and-scatter's 8.0 isolated; whole
+# step 62 vs 45 ms, scripts/probe_maxpool_bwd.py), kept as the documented
+# study (docs/STUDIES.md).
+POOL_BWD_IMPL = "xla"
+
+
+def _max_pool(h: jnp.ndarray, window: tuple) -> jnp.ndarray:
+    if POOL_BWD_IMPL == "masked":
+        from freesound_classification_tpu.ops.pooling import (
+            max_pool_nonoverlap,
+        )
+
+        return max_pool_nonoverlap(h, window)
+    return nn.max_pool(h, window, strides=window)
+
 
 class PReLU(nn.Module):
     """Per-channel PReLU over the trailing (channel) axis, init 0.25."""
@@ -163,7 +183,7 @@ class ConvBlock1d(nn.Module):
         # torch's MaxPool1d(2) would error there; deep towers on short
         # buckets must stay well-defined
         wt = 2 if h.shape[1] >= 2 else 1
-        h = nn.max_pool(h, (wt,), strides=(wt,))
+        h = _max_pool(h, (wt,))
         h = _bn(train, self.dtype, name="bn_out")(h)
         h = PReLU(self.depth, name="prelu")(h)
         return ResnetBlock1d(self.depth, self.dtype,
@@ -186,7 +206,7 @@ class ConvBlock2d(nn.Module):
         # under deep towers; see ConvBlock1d)
         wh = 2 if h.shape[1] >= 2 else 1
         ww = 2 if h.shape[2] >= 2 else 1
-        h = nn.max_pool(h, (wh, ww), strides=(wh, ww))
+        h = _max_pool(h, (wh, ww))
         h = _bn(train, self.dtype, name="bn_out")(h)
         h = PReLU(self.depth, name="prelu")(h)
         return ResnetBlock2d(self.depth, self.dtype,
