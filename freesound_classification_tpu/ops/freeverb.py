@@ -324,6 +324,13 @@ def reverb_batch(
 
         hmr, hmi, hnr = wet_response_split(
             reverberance, room_scale, fft_len, sr)
+        if not wet_only:
+            # fold the dry path into the transfer function: dry + wet =
+            # irfft(X * (1 + H)) — saves a full (B, L) elementwise pass
+            # (the f32 FFT roundtrip of the dry term costs ~1e-7 relative
+            # vs adding wave directly; tests/test_freeverb.py covers it)
+            hmr = hmr + 1.0
+            hnr = hnr + 1.0
         if b % 2:  # pair packing needs an even row count
             wave_p = jnp.pad(wave, ((0, 1), (0, 0)))
             hmr = jnp.pad(hmr, ((0, 1), (0, 0)))
@@ -336,9 +343,11 @@ def reverb_batch(
                 wave, hmr, hmi, hnr, fft_len)[..., :l]
     else:
         h = wet_response(reverberance, room_scale, fft_len, sr)
+        if not wet_only:
+            h = h + 1.0
         xf = jnp.fft.rfft(wave, fft_len, axis=-1)
         wet = jnp.fft.irfft(xf * h, fft_len, axis=-1)[..., :l]
-    out = wet if wet_only else wave + wet
+    out = wet
     tail = decay_samples(reverberance, room_scale, sr)
     new_len = jnp.minimum(lengths + tail, l)
     return out, jnp.maximum(new_len, 1).astype(lengths.dtype)

@@ -391,14 +391,20 @@ def real_filter_pairs_split_native(x: jnp.ndarray, hmr: jnp.ndarray,
         x = x[..., :n]
     h = n // 2
     fr, fi = cfft_last_split(x[0::2], x[1::2])  # (B/2, n)
-    # conj(Z[(n - k) mod n]) split: re flips, im flips and negates
-    rr = jnp.roll(jnp.flip(fr, axis=-1), 1, axis=-1)
-    ri = jnp.roll(jnp.flip(fi, axis=-1), 1, axis=-1)  # sign folded below
+    # conj(Z[(n - k) mod n]) split on the HALF grid k in [0, h): index 0
+    # maps to itself, 1..h-1 map to n-1..h+1 — a half-length flip. The
+    # r2 formulation (roll(flip(f), 1)[..., :h]) materialized TWO full-n
+    # relayout passes per array; this is one half-n reverse each
+    # (probe_reverb_middle.py: middle 4.31 -> measured below).
+    rr = jnp.concatenate(
+        [fr[..., :1], jnp.flip(fr[..., h + 1:], axis=-1)], axis=-1)
+    ri = jnp.concatenate(
+        [fi[..., :1], jnp.flip(fi[..., h + 1:], axis=-1)], axis=-1)
     # A = rfft(even rows), B = rfft(odd rows) on the aligned half grid
-    ar = 0.5 * (fr[..., :h] + rr[..., :h])
-    ai = 0.5 * (fi[..., :h] - ri[..., :h])
-    br = 0.5 * (fi[..., :h] + ri[..., :h])
-    bi = -0.5 * (fr[..., :h] - rr[..., :h])
+    ar = 0.5 * (fr[..., :h] + rr)
+    ai = 0.5 * (fi[..., :h] - ri)
+    br = 0.5 * (fi[..., :h] + ri)
+    bi = -0.5 * (fr[..., :h] - rr)
     # per-row filters, DC bin projected to its real part
     dc0 = jnp.zeros((hmi.shape[0] // 2, 1), jnp.float32)
 
@@ -419,10 +425,12 @@ def real_filter_pairs_split_native(x: jnp.ndarray, hmr: jnp.ndarray,
     ypi = y1i + y2r
     ymr = y1r + y2i
     ymi = y2r - y1i
-    qr = jnp.roll(jnp.flip(ymr, axis=-1), 1, axis=-1)
-    qi = jnp.roll(jnp.flip(ymi, axis=-1), 1, axis=-1)
-    yfr = jnp.concatenate([ypr, y1n, qr[..., 1:]], axis=-1)
-    yfi = jnp.concatenate([ypi, y2n, qi[..., 1:]], axis=-1)
+    # Y[n - m] = (ymr + i ymi)[m] for m in 1..h-1: roll(flip(ym), 1)[1:]
+    # is exactly flip(ym[1:]) — again half-length flips, no rolls
+    yfr = jnp.concatenate(
+        [ypr, y1n, jnp.flip(ymr[..., 1:], axis=-1)], axis=-1)
+    yfi = jnp.concatenate(
+        [ypi, y2n, jnp.flip(ymi[..., 1:], axis=-1)], axis=-1)
     # unnormalized inverse via conjugation: icfft(y) = conj(cfft(conj y))
     gr, gi = cfft_last_split(yfr, -yfi)
     inv = 1.0 / n

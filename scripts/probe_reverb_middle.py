@@ -93,6 +93,41 @@ def middle(fr, fi, hmr, hmi, hnr):
     return yfr, yfi
 
 
+def middle_v2(fr, fi, hmr, hmi, hnr):
+    """The half-flip/no-roll rewrite now in real_filter_pairs_split_native."""
+    h = N // 2
+    rr = jnp.concatenate(
+        [fr[..., :1], jnp.flip(fr[..., h + 1:], axis=-1)], axis=-1)
+    ri = jnp.concatenate(
+        [fi[..., :1], jnp.flip(fi[..., h + 1:], axis=-1)], axis=-1)
+    ar = 0.5 * (fr[..., :h] + rr)
+    ai = 0.5 * (fi[..., :h] - ri)
+    br = 0.5 * (fi[..., :h] + ri)
+    bi = -0.5 * (fr[..., :h] - rr)
+    dc0 = jnp.zeros((hmi.shape[0] // 2, 1), jnp.float32)
+
+    def _zero_dc(hi_arr):
+        return jnp.concatenate([dc0, hi_arr[..., 1:]], axis=-1)
+
+    her, hei = hmr[0::2], _zero_dc(hmi[0::2])
+    hor, hoi = hmr[1::2], _zero_dc(hmi[1::2])
+    y1r = ar * her - ai * hei
+    y1i = ar * hei + ai * her
+    y2r = br * hor - bi * hoi
+    y2i = br * hoi + bi * hor
+    y1n = fr[..., h:h + 1] * hnr[0::2]
+    y2n = fi[..., h:h + 1] * hnr[1::2]
+    ypr = y1r - y2i
+    ypi = y1i + y2r
+    ymr = y1r + y2i
+    ymi = y2r - y1i
+    yfr = jnp.concatenate(
+        [ypr, y1n, jnp.flip(ymr[..., 1:], axis=-1)], axis=-1)
+    yfi = jnp.concatenate(
+        [ypi, y2n, jnp.flip(ymi[..., 1:], axis=-1)], axis=-1)
+    return yfr, yfi
+
+
 def middle_sub(fr, fi):
     """Just the leading flip+roll + untangle (no filter/rebuild)."""
     h = N // 2
@@ -137,11 +172,16 @@ def main():
     timed(jax.jit(mxu_fft.cfft_last_split), xe, xo, label="forward cfft")
     timed(jax.jit(middle), fr, fi, hmr, hmi, hnr,
           label="middle: untangle+filter+rebuild")
+    timed(jax.jit(middle_v2), fr, fi, hmr, hmi, hnr,
+          label="middle v2: half-flips, no rolls")
     timed(jax.jit(middle_sub), fr, fi, label="  sub: flip/roll + untangle")
     timed(jax.jit(lambda a, b: mxu_fft.cfft_last_split(a, jnp.negative(b))),
           yfr, yfi, label="inverse cfft (conj trick)")
     timed(jax.jit(lambda a, b: wet_response_split(a, b, N, SR)), rev, room,
           label="wet_response_split")
+    timed(jax.jit(lambda w: mxu_fft.real_filter_pairs_split_native(
+        w, hmr, hmi, hnr, N)), wave,
+        label="real_filter_pairs_split_native (filter op)")
     timed(jax.jit(lambda w, ln: reverb_batch(w, ln, rev, room, SR,
                                              use_mxu_fft=True)),
           wave, lengths, label="reverb_batch (whole)")

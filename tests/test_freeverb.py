@@ -118,6 +118,27 @@ class TestReverbBatch:
         nl = np.asarray(new_len)
         assert (nl > 4096).all() and (nl <= l).all()
 
+    def test_dry_fold_equals_wave_plus_wet(self):
+        """reverb_batch folds the dry path into the transfer function
+        (out = irfft(X*(1+H))); it must equal wave + wet_only output to
+        f32 FFT-roundtrip tolerance, on BOTH fft paths (freeverb.py:327)."""
+        sr = 44100
+        l = 16384
+        rng = np.random.RandomState(3)
+        wave = jnp.asarray((rng.randn(2, l) * 0.1).astype(np.float32))
+        lengths = jnp.asarray([l, 9000], jnp.int32)
+        rev = jnp.asarray([35.0, 12.0], jnp.float32)
+        room = jnp.asarray([20.0, 45.0], jnp.float32)
+        for mxu in (False, True):
+            out, _ = freeverb.reverb_batch(
+                wave, lengths, rev, room, sr, use_mxu_fft=mxu)
+            wet, _ = freeverb.reverb_batch(
+                wave, lengths, rev, room, sr, wet_only=True,
+                use_mxu_fft=mxu)
+            err = np.max(np.abs(np.asarray(out) -
+                                (np.asarray(wave) + np.asarray(wet))))
+            assert err < 1e-5, (mxu, err)
+
     def test_echo_density_grows(self):
         """Freeverb property: echo density increases with time (the comb
         lattice + allpass diffusion), unlike a bare comb."""
