@@ -219,34 +219,127 @@ def wet_response_split(
         - z1qi[0, 0, :, None] * z1ri[0, 0, None, :]
     z1i = z1qr[0, 0, :, None] * z1ri[0, 0, None, :] \
         + z1qi[0, 0, :, None] * z1rr[0, 0, None, :]
-    denr = 1.0 - damp * z1r  # denom_lp = 1 - damp z^-1, (Q, K)
-    deni = -damp * z1i
 
     (aqr, aqi), (brr, bri) = phases(sizes)
-    c = (fb * (1.0 - damp))[:, None, None, None]  # (B, 1, 1, 1)
     znr = aqr[..., None] * brr[..., None, :] - aqi[..., None] * bri[..., None, :]
     zni = aqr[..., None] * bri[..., None, :] + aqi[..., None] * brr[..., None, :]
-    # sum over combs of zn * denom_lp / (denom_lp - c zn), (B, 8, Q, K)
-    numr = znr * denr - zni * deni
-    numi = znr * deni + zni * denr
-    ddr = denr - c * znr
-    ddi = deni - c * zni
-    inv = 1.0 / (ddr * ddr + ddi * ddi)
-    hr = jnp.sum((numr * ddr + numi * ddi) * inv, axis=1)  # (B, Q, K)
-    hi = jnp.sum((numi * ddr - numr * ddi) * inv, axis=1)
+    hr, hi = _comb_sum(z1r, z1i, znr, zni, fb, damp)
     hr = hr.reshape(hr.shape[0], f_bins)
     hi = hi.reshape(hi.shape[0], f_bins)
     statr = jnp.asarray(np.ascontiguousarray(static_np[:-1].real))
     stati = jnp.asarray(np.ascontiguousarray(static_np[:-1].imag))
     out_r = hr * statr - hi * stati
     out_i = hr * stati + hi * statr
+    out_n = _nyquist_response(sizes, fb, damp, static_np)
+    return out_r, out_i, out_n
 
-    # Nyquist bin (k = F): z^-1 = -1 exactly; z^-N = (-1)^N
+
+def _comb_sum(z1r, z1i, znr, zni, fb, damp):
+    """Sum over combs of zn * denom_lp / (denom_lp - c zn) with
+    denom_lp = 1 - damp z^-1 and c = fb (1 - damp). z1*: (*grid) phases
+    of z^-1; zn*: (B, 8, *grid) phases of z^-N per comb; fb: (B,).
+    Grid-shape agnostic (the (Q, K) and scrambled digit grids share it)."""
+    denr = 1.0 - damp * z1r
+    deni = -damp * z1i
+    c = (fb * (1.0 - damp)).reshape(fb.shape[0], *([1] * (znr.ndim - 1)))
+    numr = znr * denr - zni * deni
+    numi = znr * deni + zni * denr
+    ddr = denr - c * znr
+    ddi = deni - c * zni
+    inv = 1.0 / (ddr * ddr + ddi * ddi)
+    hr = jnp.sum((numr * ddr + numi * ddi) * inv, axis=1)
+    hi = jnp.sum((numi * ddr - numr * ddi) * inv, axis=1)
+    return hr, hi
+
+
+def _nyquist_response(sizes, fb, damp, static_np):
+    """H at the Nyquist bin: z^-1 = -1 exactly, z^-N = (-1)^N. (B, 1)."""
     sgn = jnp.where((sizes & 1) == 1, -1.0, 1.0)  # (B, 8)
+    c = (fb * (1.0 - damp))[:, None]
     dnyq = 1.0 + damp  # 1 - damp * (-1), purely real
-    hn = jnp.sum(sgn * dnyq / (dnyq - c[:, 0, 0, :] * sgn), axis=-1,
-                 keepdims=True)
-    out_n = hn * float(static_np[-1].real)
+    hn = jnp.sum(sgn * dnyq / (dnyq - c * sgn), axis=-1, keepdims=True)
+    return hn * float(static_np[-1].real)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fft_len", "sr", "hf_damping", "pre_delay_ms",
+                     "wet_gain_db"),
+)
+def wet_response_split_scrambled(
+    reverberance: jnp.ndarray,
+    room_scale: jnp.ndarray,
+    fft_len: int,
+    sr: int,
+    hf_damping: float = 50.0,
+    pre_delay_ms: float = 20.0,
+    wet_gain_db: float = 0.0,
+):
+    """wet_response_split evaluated directly on the SCRAMBLED half grid
+    (mxu_fft.scrambled_half_bins order) — the closed form doesn't care
+    what order bins are visited in, so feeding
+    mxu_fft.real_filter_pairs_split_scrambled costs nothing extra and the
+    FFT's two digit-reversal transposes disappear from the reverb path.
+
+    Phases are exact per-digit outer products: a scrambled position's bin
+    is sum_i k_i w_i (w_i = prod_{l<i} r_l), so W^{N bin} factorizes over
+    the digits — p sincos grids of r_0 + ... + r_{p-2} + r_{p-1}/2 points
+    (fewer transcendentals than the (Q, K) split), combined by successive
+    complex outer products with exact int32 phase arithmetic mod n."""
+    from freesound_classification_tpu.ops import mxu_fft
+
+    assert fft_len & (fft_len - 1) == 0, "fft_len must be a power of two"
+    radices = mxu_fft._factor(fft_len)
+    f_bins = fft_len // 2
+    damp = hf_damping / 100.0 * 0.3 + 0.2
+    static_np = _static_response(fft_len, sr, pre_delay_ms, wet_gain_db)
+    fb = feedback_of(reverberance).astype(jnp.float32)  # (B,)
+    sizes = comb_sizes(room_scale, sr)  # (B, 8)
+    mask = fft_len - 1
+    # digit sizes on the half grid: minor digit runs [0, r_minor/2)
+    dsizes = list(radices[:-1]) + [radices[-1] // 2]
+    weights = []
+    w = 1
+    for r in radices:
+        weights.append(w)
+        w *= r
+
+    def digit_phases(ns):
+        """ns: (B, 8) -> list of (cos, sin) (B, 8, d_i) per digit, of
+        W^{ns * w_i * k_i} (exact integer phase mod fft_len)."""
+        out = []
+        for w_i, d_i in zip(weights, dsizes):
+            step = (ns * w_i) & mask  # (B, 8)
+            idx = jnp.arange(d_i, dtype=jnp.int32)
+            ks = (step[..., None] * idx) & mask
+            ang = 2.0 * jnp.pi * ks.astype(jnp.float32) / fft_len
+            out.append((jnp.cos(ang), -jnp.sin(ang)))
+        return out
+
+    def outer_all(factors):
+        """Successive complex outer products -> (B, 8, *dsizes)."""
+        zr, zi = factors[0]
+        for fr, fi in factors[1:]:
+            shape = fr.shape[:2] + (1,) * (zr.ndim - 2) + fr.shape[-1:]
+            fr = fr.reshape(shape)
+            fi = fi.reshape(shape)
+            zr, zi = (zr[..., None] * fr - zi[..., None] * fi,
+                      zr[..., None] * fi + zi[..., None] * fr)
+        return zr, zi
+
+    ones = jnp.ones((1, 1), jnp.int32)
+    z1r, z1i = outer_all(digit_phases(ones))
+    z1r, z1i = z1r[0, 0], z1i[0, 0]  # (*dsizes)
+    znr, zni = outer_all(digit_phases(sizes))  # (B, 8, *dsizes)
+    hr, hi = _comb_sum(z1r, z1i, znr, zni, fb, damp)
+    hr = hr.reshape(hr.shape[0], f_bins)
+    hi = hi.reshape(hi.shape[0], f_bins)
+    order = mxu_fft.scrambled_half_bins(fft_len)
+    statr = jnp.asarray(np.ascontiguousarray(static_np.real[order]))
+    stati = jnp.asarray(np.ascontiguousarray(static_np.imag[order]))
+    out_r = hr * statr - hi * stati
+    out_i = hr * stati + hi * statr
+    out_n = _nyquist_response(sizes, fb, damp, static_np)
     return out_r, out_i, out_n
 
 
@@ -322,7 +415,10 @@ def reverb_batch(
     if use_mxu_fft:
         from freesound_classification_tpu.ops import mxu_fft
 
-        hmr, hmi, hnr = wet_response_split(
+        # scrambled-order convolution: the filter is evaluated directly
+        # on the digit-scrambled grid, eliding both digit-reversal
+        # transposes from the FFT pipeline (mxu_fft module note)
+        hmr, hmi, hnr = wet_response_split_scrambled(
             reverberance, room_scale, fft_len, sr)
         if not wet_only:
             # fold the dry path into the transfer function: dry + wet =
@@ -336,10 +432,10 @@ def reverb_batch(
             hmr = jnp.pad(hmr, ((0, 1), (0, 0)))
             hmi = jnp.pad(hmi, ((0, 1), (0, 0)))
             hnr = jnp.pad(hnr, ((0, 1), (0, 0)))
-            wet = mxu_fft.real_filter_pairs_split_native(
+            wet = mxu_fft.real_filter_pairs_split_scrambled(
                 wave_p, hmr, hmi, hnr, fft_len)[:b, :l]
         else:
-            wet = mxu_fft.real_filter_pairs_split_native(
+            wet = mxu_fft.real_filter_pairs_split_scrambled(
                 wave, hmr, hmi, hnr, fft_len)[..., :l]
     else:
         h = wet_response(reverberance, room_scale, fft_len, sr)

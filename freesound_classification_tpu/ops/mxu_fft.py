@@ -312,22 +312,12 @@ def _stage_twiddle_split(radices: tuple, i: int):
     return (np.ascontiguousarray(t.real), np.ascontiguousarray(t.imag))
 
 
-def cfft_last_split(xr: jnp.ndarray, xi: jnp.ndarray):
-    """cfft_last on hand-split re/im f32 arrays -> (yr, yi).
-
-    Bit-identical math to cfft_last (same stage order, same HIGHEST-
-    precision dots); only the value representation changes.
-    """
-    n = xr.shape[-1]
-    assert n & (n - 1) == 0, "power-of-two lengths only"
-    if n <= _RADIX_MAX:
-        dr, di = map(jnp.asarray, _dft_split(n))
-        yr = (jnp.einsum("...j,jk->...k", xr, dr, precision=_HIGHEST)
-              - jnp.einsum("...j,jk->...k", xi, di, precision=_HIGHEST))
-        yi = (jnp.einsum("...j,jk->...k", xr, di, precision=_HIGHEST)
-              + jnp.einsum("...j,jk->...k", xi, dr, precision=_HIGHEST))
-        return yr, yi
-    radices = _factor(n)
+def _stages_split(xr: jnp.ndarray, xi: jnp.ndarray, radices: tuple):
+    """The cfft stage pipeline on split re/im, WITHOUT the final
+    digit-reversal transpose: (..., n) flat in -> (*batch, r_0..r_{p-1})
+    digit view out, holding output digit k_i (bin weight prod_{l<i} r_l)
+    on axis i. Flattening that view yields SCRAMBLED (digit-major) bin
+    order — see scrambled_bins."""
     p = len(radices)
     batch = xr.shape[:-1]
     ar = xr.reshape(*batch, *radices)
@@ -350,6 +340,60 @@ def cfft_last_split(xr: jnp.ndarray, xi: jnp.ndarray):
             ai = nr * twi + ni * twr
         else:
             ar, ai = nr, ni
+    return ar, ai
+
+
+def _stages_t_split(ar: jnp.ndarray, ai: jnp.ndarray, radices: tuple):
+    """TRANSPOSED stage pipeline: consumes a scrambled digit view
+    (*batch, r_0..r_{p-1}) and emits the natural-order flat FFT
+    (*batch, n). Because the DFT matrix is symmetric, F = F^T =
+    T^T S^-1, so the forward FFT of a scrambled-order vector is the
+    stage pipeline run in reverse (DFT matrices are symmetric, stage
+    twiddles diagonal) with NO permutation anywhere. Validated against
+    numpy in tests/test_mxu_fft.py."""
+    p = len(radices)
+    nb = ar.ndim - p
+    batch = ar.shape[:nb]
+    letters = "abcdefgh"[:p]
+    for i in reversed(range(p)):
+        sub = (f"...{letters},{letters[i]}z"
+               f"->...{letters.replace(letters[i], 'z')}")
+        dr, di = map(jnp.asarray, _dft_split(radices[i]))
+        nr = (jnp.einsum(sub, ar, dr, precision=_HIGHEST)
+              - jnp.einsum(sub, ai, di, precision=_HIGHEST))
+        ni = (jnp.einsum(sub, ar, di, precision=_HIGHEST)
+              + jnp.einsum(sub, ai, dr, precision=_HIGHEST))
+        if i > 0:
+            twr, twi = _stage_twiddle_split(radices, i - 1)
+            shape = twr.shape + (1,) * (p - i - 1)
+            twr = jnp.asarray(twr).reshape(shape)
+            twi = jnp.asarray(twi).reshape(shape)
+            ar = nr * twr - ni * twi
+            ai = nr * twi + ni * twr
+        else:
+            ar, ai = nr, ni
+    return ar.reshape(*batch, -1), ai.reshape(*batch, -1)
+
+
+def cfft_last_split(xr: jnp.ndarray, xi: jnp.ndarray):
+    """cfft_last on hand-split re/im f32 arrays -> (yr, yi).
+
+    Bit-identical math to cfft_last (same stage order, same HIGHEST-
+    precision dots); only the value representation changes.
+    """
+    n = xr.shape[-1]
+    assert n & (n - 1) == 0, "power-of-two lengths only"
+    if n <= _RADIX_MAX:
+        dr, di = map(jnp.asarray, _dft_split(n))
+        yr = (jnp.einsum("...j,jk->...k", xr, dr, precision=_HIGHEST)
+              - jnp.einsum("...j,jk->...k", xi, di, precision=_HIGHEST))
+        yi = (jnp.einsum("...j,jk->...k", xr, di, precision=_HIGHEST)
+              + jnp.einsum("...j,jk->...k", xi, dr, precision=_HIGHEST))
+        return yr, yi
+    radices = _factor(n)
+    p = len(radices)
+    batch = xr.shape[:-1]
+    ar, ai = _stages_split(xr, xi, radices)
     nb = len(batch)
     perm = tuple(range(nb)) + tuple(nb + j for j in reversed(range(p)))
     return (ar.transpose(perm).reshape(*batch, n),
@@ -433,6 +477,168 @@ def real_filter_pairs_split_native(x: jnp.ndarray, hmr: jnp.ndarray,
         [ypi, y2n, jnp.flip(ymi[..., 1:], axis=-1)], axis=-1)
     # unnormalized inverse via conjugation: icfft(y) = conj(cfft(conj y))
     gr, gi = cfft_last_split(yfr, -yfi)
+    inv = 1.0 / n
+    out = jnp.stack([gr * inv, gi * (-inv)], axis=1)
+    return out.reshape(b, n).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Scrambled-order convolution
+# ---------------------------------------------------------------------------
+#
+# The two digit-reversal transposes (end of the forward pipeline, end of the
+# inverse) are pure relayout passes over the full (B/2, n) re/im arrays —
+# bandwidth the convolution doesn't need, since a pointwise filter doesn't
+# care what order the bins are visited in. The *_scrambled path below elides
+# both: the forward emits the digit view as-is, the filter (evaluated by the
+# caller directly on the scrambled bin grid — freeverb.wet_response_split
+# takes a bin_order) multiplies in scrambled order, and the inverse consumes
+# scrambled order via the TRANSPOSED stage pipeline (_stages_t_split). The
+# rfft untangle's conj-partner pairing survives scrambling with structure:
+# (n - bin) mod n complements every digit with a carry from the weight-1
+# digit, so the partner gather is a nest of p small flips on the digit view
+# (one special row/plane per carry level) instead of a full-length
+# roll(flip(.)) — and the half grid (bins < n/2) is exactly the lower half
+# of the MINOR digit axis.
+
+
+@functools.lru_cache(maxsize=16)
+def scrambled_bins(n: int) -> np.ndarray:
+    """(n,) int64: the natural bin index at each scrambled position.
+
+    Scrambled position j has digit decomposition (k_0 .. k_{p-1}) with
+    k_0 MAJOR (j = ((k_0 r_1 + k_1) r_2 + ...)); its bin is
+    sum_i k_i * w_i with w_i = prod_{l<i} r_l. The first n/2 positions of
+    the HALF grid are scrambled_bins(n).reshape(radices)[..., :r_m//2]."""
+    radices = _factor(n)
+    b = np.zeros(radices, dtype=np.int64)
+    w = 1
+    for i, r in enumerate(radices):
+        shape = [1] * len(radices)
+        shape[i] = r
+        b = b + np.arange(r).reshape(shape) * w
+        w *= r
+    return b.reshape(-1)
+
+
+def scrambled_half_bins(n: int) -> np.ndarray:
+    """(n//2,) int64: bins of the scrambled HALF grid (minor digit <
+    r_minor/2), the order real_filter_pairs_split_scrambled expects its
+    per-row filters in."""
+    radices = _factor(n)
+    hm = radices[-1] // 2
+    return np.ascontiguousarray(
+        scrambled_bins(n).reshape(radices)[..., :hm]).reshape(-1)
+
+
+def _partner_half(v: jnp.ndarray, radices: tuple) -> jnp.ndarray:
+    """v: (*batch, r_0..r_{p-1}) digit view of a full-grid array; returns
+    the half-grid digit view u with u[pos] = v[partner(pos)],
+    partner(bin) = (n - bin) mod n, for positions with minor digit <
+    r_{p-1}/2. Structure: (n - bin) complements every digit (r-1-k) then
+    adds 1 at the weight-1 digit (k_0); the carry ripples only while
+    digits are 0, so level i of the nest handles 'digits 0..i-1 zero,
+    digit i nonzero' -> flip digit i over [1:], full-flip all faster
+    digits (minor restricted to its upper half)."""
+    p = len(radices)
+    hm = radices[-1] // 2
+    nb = v.ndim - p
+    # innermost line: all digits 0 but the minor; (n - k w_m) mod n
+    line = v[(slice(None),) * nb + (0,) * (p - 1)]  # (*batch, r_m)
+    out = jnp.concatenate(
+        [line[..., :1], jnp.flip(line[..., hm + 1:], -1)], -1)
+    out = out.reshape(out.shape[:nb] + (1,) * (p - 1) + (hm,))
+    for i in range(p - 2, -1, -1):
+        idx = (slice(None),) * nb + (slice(0, 1),) * i + (slice(1, None),)
+        blk = v[idx][..., hm:]
+        blk = jnp.flip(blk, axis=tuple(range(nb + i, blk.ndim)))
+        out = jnp.concatenate([out, blk], axis=nb + i)
+    return out
+
+
+def _upper_from_half(ym: jnp.ndarray, ynyq: jnp.ndarray, radices: tuple
+                     ) -> jnp.ndarray:
+    """Inverse placement: given half-grid values ym with
+    Y[(n - bin(pos)) mod n] = ym[pos] and the Nyquist value ynyq
+    (*batch, 1), build the upper-half digit view (minor digit >= r/2).
+    Same involution as _partner_half, restricted to the upper half."""
+    p = len(radices)
+    nb = ym.ndim - p
+    line = ym[(slice(None),) * nb + (0,) * (p - 1)]  # (*batch, hm)
+    out = jnp.concatenate([ynyq, jnp.flip(line[..., 1:], -1)], -1)
+    out = out.reshape(out.shape[:nb] + (1,) * (p - 1) + (out.shape[-1],))
+    for i in range(p - 2, -1, -1):
+        idx = (slice(None),) * nb + (slice(0, 1),) * i + (slice(1, None),)
+        blk = jnp.flip(ym[idx], axis=tuple(range(nb + i, ym.ndim)))
+        out = jnp.concatenate([out, blk], axis=nb + i)
+    return out
+
+
+def real_filter_pairs_split_scrambled(x: jnp.ndarray, hmr: jnp.ndarray,
+                                      hmi: jnp.ndarray, hnr: jnp.ndarray,
+                                      n: int) -> jnp.ndarray:
+    """real_filter_pairs_split_native with BOTH digit-reversal transposes
+    elided: the filter is applied in scrambled bin order.
+
+    ``hmr``/``hmi``: (B, n//2) filter re/im ON THE SCRAMBLED HALF GRID —
+    row r's value at column j is H[scrambled_half_bins(n)[j]] (freeverb's
+    wet_response_split evaluates there directly via bin_order, at no extra
+    cost — the closed form doesn't care about bin order). ``hnr``: (B, 1)
+    Re H[n//2]. Output is identical to the natural-order path (golden
+    tested); only the internal bin visit order differs."""
+    assert n & (n - 1) == 0 and n > _RADIX_MAX
+    b, l = x.shape
+    assert b % 2 == 0, "pair packing needs an even number of rows"
+    assert hmr.shape[-1] == n // 2 and hnr.shape[-1] == 1
+    if l < n:
+        x = jnp.pad(x, ((0, 0), (0, n - l)))
+    elif l > n:
+        x = x[..., :n]
+    radices = _factor(n)
+    p = len(radices)
+    hm = radices[-1] // 2
+    b2 = b // 2
+    fr, fi = _stages_split(x[0::2], x[1::2], radices)  # (B/2, *radices)
+    # conj Z[(n - bin) mod n] on the half grid (conj = negate im at use)
+    rr = _partner_half(fr, radices)
+    ri = _partner_half(fi, radices)
+    # A = rfft(even rows), B = rfft(odd rows), scrambled half grid
+    zhr, zhi = fr[..., :hm], fi[..., :hm]
+    ar = 0.5 * (zhr + rr)
+    ai = 0.5 * (zhi - ri)
+    br = 0.5 * (zhi + ri)
+    bi = -0.5 * (zhr - rr)
+    # per-row filters in scrambled flat order; DC (bin 0 = digits all
+    # zero = flat position 0) projected to its real part, then digit view
+    dc0 = jnp.zeros((b2, 1), jnp.float32)
+
+    def _digit_half(h_flat):
+        return h_flat.reshape(b2, *radices[:-1], hm)
+
+    her = _digit_half(hmr[0::2])
+    hor = _digit_half(hmr[1::2])
+    hei = _digit_half(jnp.concatenate([dc0, hmi[0::2][..., 1:]], -1))
+    hoi = _digit_half(jnp.concatenate([dc0, hmi[1::2][..., 1:]], -1))
+    y1r = ar * her - ai * hei
+    y1i = ar * hei + ai * her
+    y2r = br * hor - bi * hoi
+    y2i = br * hoi + bi * hor
+    # Nyquist bin n/2 = digits (0,..,0, hm): A = Re Z, B = Im Z there
+    nyq = (slice(None),) + (0,) * (p - 1) + (slice(hm, hm + 1),)
+    y1n = fr[nyq] * hnr[0::2]  # (B/2, 1)
+    y2n = fi[nyq] * hnr[1::2]
+    # Y[k] = Y1 + i Y2 on the half grid; Y[n - m] = conj(Y1 - i Y2)[m]
+    ypr = y1r - y2i
+    ypi = y1i + y2r
+    ymr = y1r + y2i
+    ymi = y2r - y1i
+    upr = _upper_from_half(ymr, y1n, radices)
+    upi = _upper_from_half(ymi, y2n, radices)
+    yfr = jnp.concatenate([ypr, upr], axis=-1)  # (B/2, *radices)
+    yfi = jnp.concatenate([ypi, upi], axis=-1)
+    # unnormalized inverse via conjugation, consuming scrambled order:
+    # icfft(y)[natural] = conj(T^T(conj y_scrambled))
+    gr, gi = _stages_t_split(yfr, -yfi, radices)
     inv = 1.0 / n
     out = jnp.stack([gr * inv, gi * (-inv)], axis=1)
     return out.reshape(b, n).astype(jnp.float32)

@@ -1,11 +1,13 @@
 """Dispatch-level breakdown of reverb_batch's FFT-filter pipeline.
 
-probe_scrambled_fft.py priced the scrambled-order redesign OUT (the two
-digit transposes are only ~3.1 ms total while the full-grid response eval
-costs +2.3), but the tally exposed a bigger target: of the 20.9 ms whole
-op, the two FFTs are 9.7 and the response 2.0 — leaving ~9 ms in the
-untangle/filter/retangle MIDDLE whose raw traffic floor is ~2 ms
-(read Z + flipped Z + filters, write Y: ~0.9 GB at 819 GB/s).
+probe_scrambled_fft.py priced the FIRST scrambled-order design out (it
+paid a full-grid response eval, +2.3 ms, for ~3.1 ms of transposes), and
+the tally exposed the untangle/filter/retangle MIDDLE (~9 ms vs a ~2 ms
+traffic floor) as the bigger target. Round-3 history, all measured here:
+middle half-flips 4.3 -> 2.9 ms, then the SECOND scrambled design (the
+response evaluated directly on the scrambled HALF grid, so the transpose
+saving comes free — mxu_fft.real_filter_pairs_split_scrambled) took the
+whole op 18.9 -> 14.9 ms. Both paths stay timed below for regression A/Bs.
 
 This probe times each pipeline stage as its own dispatch (per CLAUDE.md's
 rule: trace rows lie over this backend, dispatch A/Bs don't):
@@ -182,9 +184,25 @@ def main():
     timed(jax.jit(lambda w: mxu_fft.real_filter_pairs_split_native(
         w, hmr, hmi, hnr, N)), wave,
         label="real_filter_pairs_split_native (filter op)")
+
+    # scrambled-order path (r3: filter evaluated on the digit grid; both
+    # digit-reversal transposes elided — unlike probe_scrambled_fft's
+    # full-grid-response design, the response stays a half-grid eval)
+    from freesound_classification_tpu.ops.freeverb import (
+        wet_response_split_scrambled,
+    )
+
+    smr, smi, snr = jax.jit(
+        lambda a, b: wet_response_split_scrambled(a, b, N, SR))(rev, room)
+    smr, smi, snr = map(jnp.asarray, (smr, smi, snr))
+    timed(jax.jit(lambda a, b: wet_response_split_scrambled(a, b, N, SR)),
+          rev, room, label="wet_response_split_scrambled")
+    timed(jax.jit(lambda w: mxu_fft.real_filter_pairs_split_scrambled(
+        w, smr, smi, snr, N)), wave,
+        label="real_filter_pairs_split_scrambled")
     timed(jax.jit(lambda w, ln: reverb_batch(w, ln, rev, room, SR,
                                              use_mxu_fft=True)),
-          wave, lengths, label="reverb_batch (whole)")
+          wave, lengths, label="reverb_batch (whole, scrambled)")
 
 
 if __name__ == "__main__":

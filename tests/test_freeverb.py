@@ -223,3 +223,25 @@ class TestMxuFftPath:
                                    rtol=1e-6, atol=1e-8)
         np.testing.assert_allclose(np.asarray(nyq), full[:, -1:],
                                    rtol=1e-6, atol=1e-8)
+
+
+class TestScrambledWetResponse:
+    def test_matches_natural_order_permuted(self):
+        """wet_response_split_scrambled == wet_response_split reordered by
+        mxu_fft.scrambled_half_bins (same closed form, different grid
+        visit order + per-digit outer-product phases)."""
+        from freesound_classification_tpu.ops import mxu_fft
+        sr = 44100
+        n = 1 << 15
+        rev = jnp.asarray([5.0, 40.0, 49.0], jnp.float32)
+        room = jnp.asarray([45.0, 20.0, 5.0], jnp.float32)
+        hr, hi, hn = freeverb.wet_response_split(rev, room, n, sr)
+        sr_, si_, sn_ = freeverb.wet_response_split_scrambled(
+            rev, room, n, sr)
+        order = mxu_fft.scrambled_half_bins(n)
+        np.testing.assert_allclose(np.asarray(sn_), np.asarray(hn),
+                                   rtol=0, atol=1e-5)
+        scale = np.abs(np.asarray(hr)).max()
+        err_r = np.abs(np.asarray(sr_) - np.asarray(hr)[:, order]).max()
+        err_i = np.abs(np.asarray(si_) - np.asarray(hi)[:, order]).max()
+        assert err_r / scale < 1e-5 and err_i / scale < 1e-5

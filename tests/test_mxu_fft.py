@@ -130,3 +130,53 @@ def test_cfft_split_matches_complex(n):
     yr, yi = mxu_fft.cfft_last_split(jnp.asarray(xr), jnp.asarray(xi))
     ref = np.fft.fft(xr + 1j * xi, axis=-1)
     assert _rel_err(np.asarray(yr) + 1j * np.asarray(yi), ref) < 2e-6
+
+
+@pytest.mark.parametrize("n", [256, 8192, 1 << 17])
+def test_scrambled_bins_is_digit_reversal_permutation(n):
+    bins = mxu_fft.scrambled_bins(n)
+    assert sorted(bins) == list(range(n))
+    half = mxu_fft.scrambled_half_bins(n)
+    assert len(half) == n // 2 and half.max() < n // 2
+    assert half[0] == 0  # DC leads the scrambled order
+    # half grid = lower half of the minor digit axis of the full grid
+    radices = mxu_fft._factor(n)
+    want = bins.reshape(radices)[..., : radices[-1] // 2].reshape(-1)
+    np.testing.assert_array_equal(half, want)
+
+
+@pytest.mark.parametrize("n", [256, 8192, 1 << 17])
+def test_stages_t_is_fft_of_scrambled_input(n):
+    """_stages_t_split(scrambled v) == fft(natural v): the transposed
+    pipeline IS the FFT for digit-scrambled input (F = T^T S^-1)."""
+    rng = np.random.RandomState(10)
+    radices = mxu_fft._factor(n)
+    z = (rng.randn(2, n) + 1j * rng.randn(2, n)).astype(np.complex64)
+    zs = z[:, mxu_fft.scrambled_bins(n)]  # scrambled-order copy of z
+    gr, gi = mxu_fft._stages_t_split(
+        jnp.asarray(zs.real).reshape(2, *radices),
+        jnp.asarray(zs.imag).reshape(2, *radices), radices)
+    ref = np.fft.fft(z, axis=-1)
+    assert _rel_err(np.asarray(gr) + 1j * np.asarray(gi), ref) < 2e-6
+
+
+@pytest.mark.parametrize("n", [256, 8192, 1 << 17])
+def test_real_filter_pairs_scrambled_matches_separate_transforms(n):
+    """The scrambled-order filter path == per-row irfft(rfft(x) * H)
+    with the filter handed over in scrambled_half_bins order."""
+    rng = np.random.RandomState(11)
+    b = 6
+    x = rng.randn(b, n - min(64, n // 4)).astype(np.float32)
+    h = (rng.randn(b, n // 2 + 1) + 1j * rng.randn(b, n // 2 + 1)).astype(
+        np.complex64)
+    h[:, 0] = h[:, 0].real
+    h[:, -1] = h[:, -1].real
+    order = mxu_fft.scrambled_half_bins(n)
+    out = mxu_fft.real_filter_pairs_split_scrambled(
+        jnp.asarray(x),
+        jnp.asarray(np.ascontiguousarray(h[:, order].real)),
+        jnp.asarray(np.ascontiguousarray(h[:, order].imag)),
+        jnp.asarray(np.ascontiguousarray(h[:, n // 2:].real)), n)
+    ref = np.fft.irfft(np.fft.rfft(x, n, axis=-1) * h, n, axis=-1)
+    assert out.shape == (b, n)
+    assert _rel_err(out, ref) < 5e-6
