@@ -434,13 +434,20 @@ def run_folds_parallel(args, experiment, model_kind, n_classes,
     scale-out. Artifacts come out identical to the sequential path."""
     from freesound_classification_tpu.training.multifold import (
         MultiFoldEngine,
-        make_fold_mesh,
+        make_fold_dp_mesh,
     )
 
     folds = list(args.folds)
     print(f"\n\n   -----  Folds {folds} (parallel)\n")
     template = build_engine(args, experiment, model_kind, n_classes)
-    mesh = make_fold_mesh(len(folds))
+    # spare devices beyond the fold axis become within-fold data
+    # parallelism (2-D fold x data mesh; degenerates to the 1-D fold mesh
+    # when devices == folds)
+    mesh = make_fold_dp_mesh(len(folds))
+    if mesh.devices.size > len(folds):
+        shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+        print(f"fold-parallel mesh: {shape['fold']} folds x "
+              f"{shape['data']}-way data parallel")
 
     per_fold = [fold_loaders(f, 1) for f in folds]
     train_loaders = [p[0] for p in per_fold]

@@ -13,6 +13,11 @@ padding invariance) and stacked to (K, B, L).
   embarrassingly parallel, so K folds on K devices run at single-fold
   wall-time with zero collectives between folds. This is the SURVEY §2b
   "map folds onto devices" scale-out.
+- When devices outnumber folds, ``make_fold_dp_mesh`` builds a 2-D
+  (fold, data) mesh: states shard P("fold") (replicated along "data"),
+  batches shard P("fold", "data"), and XLA inserts the within-fold
+  grad/BN collectives exactly as in the 1-D DP engine — fold-parallel
+  AND data-parallel in one program, zero cross-fold traffic.
 
 Correctness parity with the sequential path:
 - per-fold batches are PADDED to the largest fold batch (repeating the last
@@ -49,29 +54,56 @@ from freesound_classification_tpu.training import checkpoints as ckpt_lib
 from freesound_classification_tpu.training.engine import Engine
 
 
+def _fold_axis_size(n_folds: int, n_devices: int) -> int:
+    """Largest divisor of n_folds that fits the device count."""
+    for d in range(min(n_devices, n_folds), 0, -1):
+        if n_folds % d == 0:
+            return d
+    return 1
+
+
 def make_fold_mesh(n_folds: int, devices=None) -> Mesh:
     """1-D mesh over min(n_folds, n_devices) devices, axis name "fold"."""
     if devices is None:
         devices = jax.devices()
-    n = len(devices)
-    # the fold axis must divide the device count we use
-    use = 1
-    for d in range(min(n, n_folds), 0, -1):
-        if n_folds % d == 0:
-            use = d
-            break
+    use = _fold_axis_size(n_folds, len(devices))
     return Mesh(np.asarray(devices[:use]), ("fold",))
 
 
-def _stack_batches(batches: Sequence[dict]):
+def make_fold_dp_mesh(n_folds: int, devices=None,
+                      dp: int | None = None) -> Mesh:
+    """2-D (fold, data) mesh: the stacked fold axis shards over "fold" and
+    each fold's batch is data-parallel over "data" — K folds x D-way DP on
+    one mesh, the scale-out shape when devices outnumber folds (e.g. 5
+    folds on a v5e-16 slice = 5 x 3 with one spare, or 4 folds on 8
+    devices = 4 x 2). Cross-fold traffic stays zero; within a fold XLA
+    inserts the grad/BN-stat collectives exactly as in the 1-D DP engine
+    (parallel/mesh.py). ``dp`` pins the data-axis width; default uses
+    every device the fold axis leaves available."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    f = _fold_axis_size(n_folds, n)
+    d = dp if dp is not None else max(1, n // f)
+    if f * d > n:
+        raise ValueError(
+            f"fold x dp mesh needs {f}x{d} devices, have {n}")
+    return Mesh(np.asarray(devices[:f * d]).reshape(f, d),
+                ("fold", "data"))
+
+
+def _stack_batches(batches: Sequence[dict], row_multiple: int = 1):
     """Pad K per-fold batches to a common (max batch, max length) and stack
     to (K, B, ...). Short batches are padded by repeating their last row
     (mesh-padding style, keeps BN statistics non-degenerate); the returned
     ``n_real`` (K,) marks how many rows of each fold are genuine so the step
     masks the padding out of loss/metric. Zero-padding along time +
-    per-sample lengths keep featurization exact."""
+    per-sample lengths keep featurization exact. ``row_multiple`` rounds
+    the common batch size up so the row axis divides a data-parallel mesh
+    axis (fold x dp meshes)."""
     max_len = max(b["signal"].shape[1] for b in batches)
     max_bs = max(b["signal"].shape[0] for b in batches)
+    max_bs += (-max_bs) % row_multiple
     n_real = np.array([b["signal"].shape[0] for b in batches], np.int32)
     out = {}
 
@@ -124,6 +156,12 @@ class MultiFoldEngine:
         self.fold_ids = list(fold_ids) if fold_ids is not None else list(
             range(n_folds))
         self.mesh = mesh if mesh is not None else make_fold_mesh(n_folds)
+        mesh_axes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        # data-parallel width within each fold (fold x dp meshes); 1 on the
+        # classic 1-D fold mesh
+        self.dp = mesh_axes.get("data", 1)
+        self._batch_spec = (
+            P("fold", "data") if "data" in mesh_axes else P("fold"))
         self.states = None  # stacked TrainState, leading fold axis
         self.global_step = 0
         # per-shape pool of the previous clean stacked batch (MixUp)
@@ -229,10 +267,10 @@ class MultiFoldEngine:
         """
         losses, metrics = [], []
         n_steps = max(len(l) for l in fold_loaders)
-        sharding = NamedSharding(self.mesh, P("fold"))
+        sharding = NamedSharding(self.mesh, self._batch_spec)
         iters = [_cycle_to(l, n_steps) for l in fold_loaders]
         for step_idx, batches in enumerate(zip(*iters)):
-            stacked, n_real = _stack_batches(batches)
+            stacked, n_real = _stack_batches(batches, row_multiple=self.dp)
             device_batch = {
                 k: jax.device_put(v, sharding) for k, v in stacked.items()
             }

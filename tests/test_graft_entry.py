@@ -46,7 +46,8 @@ def test_dryrun_multichip_subprocess():
         f"dryrun_multichip(8) failed rc={proc.returncode}\n"
         f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
     )
-    for marker in ("dp ok", "fold-parallel ok", "multi-host loader ok"):
+    for marker in ("dp ok", "fold-parallel ok", "fold x dp ok",
+                   "multi-host loader ok"):
         assert marker in proc.stdout, (
             f"missing '{marker}' in dryrun output:\n{proc.stdout}"
         )

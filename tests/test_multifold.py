@@ -6,6 +6,7 @@ import pytest
 from freesound_classification_tpu.training.multifold import (
     MultiFoldEngine,
     _stack_batches,
+    make_fold_dp_mesh,
     make_fold_mesh,
 )
 from tests.test_engine import ListLoader, _make_engine, _synthetic_batches
@@ -144,3 +145,96 @@ class TestMultiFoldTraining:
         assert any(
             not np.allclose(a, b) for a, b in zip(p0, p1)
         )
+
+
+class TestFoldDpMesh:
+    """2-D (fold, data) mesh: fold-parallel AND within-fold data-parallel."""
+
+    def test_mesh_shapes(self):
+        import jax
+
+        assert len(jax.devices()) == 8
+        shapes = {
+            2: {"fold": 2, "data": 4},
+            4: {"fold": 4, "data": 2},
+            5: {"fold": 5, "data": 1},
+            8: {"fold": 8, "data": 1},
+        }
+        for n_folds, want in shapes.items():
+            mesh = make_fold_dp_mesh(n_folds)
+            got = dict(zip(mesh.axis_names, mesh.devices.shape))
+            assert got == want, f"n_folds={n_folds}: {got} != {want}"
+
+    def test_explicit_dp_width(self):
+        mesh = make_fold_dp_mesh(2, dp=2)
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+            "fold": 2, "data": 2}
+        with pytest.raises(ValueError):
+            make_fold_dp_mesh(5, dp=4)  # 5*4 > 8 devices
+
+    def test_stacking_row_multiple(self):
+        a = {"signal": np.arange(12, dtype="f4").reshape(6, 2),
+             "lengths": np.full(6, 2, "i4"),
+             "labels": np.ones((6, 3), "f4"),
+             "is_noisy": np.zeros(6, "f4")}
+        b = {"signal": np.ones((4, 2), "f4"),
+             "lengths": np.full(4, 2, "i4"),
+             "labels": np.ones((4, 3), "f4"),
+             "is_noisy": np.zeros(4, "f4")}
+        out, n_real = _stack_batches([a, b], row_multiple=4)
+        # 6 rounds up to 8 so the row axis divides a 4-wide data axis
+        assert out["signal"].shape == (2, 8, 2)
+        assert list(n_real) == [6, 4]
+        np.testing.assert_array_equal(out["signal"][0, :6], a["signal"])
+        np.testing.assert_array_equal(out["signal"][0, 7], a["signal"][5])
+
+    def test_fold_dp_matches_fold_only_with_augmentation_on(self):
+        """The 2-D mesh runs the SAME program math as the 1-D fold mesh —
+        within-fold batch sharding must not change losses or final params
+        (GSPMD inserts the collectives; same per-fold PRNG streams). The
+        full augmentation chain runs inside the step, so MixUp partner
+        indexing, the fixed-count effects compaction, and BN batch stats
+        are all exercised across the data axis."""
+        import jax
+
+        from freesound_classification_tpu.ops import augment as augment_lib
+
+        n_folds = 2
+        results = {}
+        for mesh_kind in ("fold", "fold_dp"):
+            fold_train = [
+                ListLoader(_synthetic_batches(3, 8, seed=k))
+                for k in range(n_folds)
+            ]
+            template = _make_engine()
+            template.augment = augment_lib.make_augmenter(
+                augment_lib.AugmentConfig(
+                    p_mixup=0.5, p_aug=0.5, p_shuffle=0.5, sr=8000))
+            mesh = (make_fold_mesh(n_folds) if mesh_kind == "fold"
+                    else make_fold_dp_mesh(n_folds))
+            mf = MultiFoldEngine(template, n_folds, mesh=mesh)
+            if mesh_kind == "fold_dp":
+                assert mf.dp == 4
+            mf.make_optimizer(max_steps=6, steps_per_epoch=3)
+            mf.init_states(fold_train[0][0])
+            stats = mf.train_epoch(fold_train)
+            results[mesh_kind] = (
+                stats["loss"],
+                jax.tree_util.tree_flatten_with_path(
+                    jax.device_get(mf.states.params))[0],
+            )
+        np.testing.assert_allclose(
+            results["fold"][0], results["fold_dp"][0], rtol=2e-4)
+        for (path, a), (_, b) in zip(results["fold"][1],
+                                     results["fold_dp"][1]):
+            # biases directly shadowed by a following BatchNorm have ~zero
+            # gradient by construction (BN subtracts the mean), so adam
+            # amplifies cross-mesh reduction-order noise into lr-sized
+            # random walks on them — skip those; every leaf that carries
+            # real signal must agree across mesh shapes
+            if jax.tree_util.keystr(path).endswith("['bias']"):
+                continue
+            scale = np.maximum(np.abs(a).max(), 1e-8)
+            np.testing.assert_allclose(
+                a / scale, b / scale, atol=1e-3,
+                err_msg=jax.tree_util.keystr(path))
