@@ -36,6 +36,16 @@ NEG_INF = -1e30
 # study (docs/STUDIES.md).
 POOL_BWD_IMPL = "xla"
 
+# Forward lowering is nn.max_pool / lax.reduce_window everywhere: a full
+# lowering study (scripts/probe_pool_rank.py, v5e-1, merged block0 shape
+# (320,128,431,64) bf16) found reduce-window IS the floor — pair-split
+# reshape+max 1.14x slower, 4-slice max 1.22x, two-stage strided maximum
+# 2.3x, custom_vmap fold-merging a wash at model level, and the
+# "free (W,C)->(W//2,2C) lane-pairing view" 2.4x slower because trailing
+# reshapes are physical relayouts under TPU tiled layouts, not views.
+# The ~145 GB/s effective bandwidth of this pool is intrinsic to the
+# half-lane C=64-minor bf16 tiles, not to the lowering.
+
 
 def _max_pool(h: jnp.ndarray, window: tuple) -> jnp.ndarray:
     if POOL_BWD_IMPL == "masked":
