@@ -202,14 +202,34 @@ class ConvBlock1d(nn.Module):
 
 
 class ConvBlock2d(nn.Module):
-    """2d variant (reference networks/classifiers.py:524-538). Halves H and W."""
+    """2d variant (reference networks/classifiers.py:524-538). Halves H and W.
+
+    ``fused_head=True`` routes eval-mode forwards of small-C_in stages
+    (block0's 2-channel spectrogram input) through the fused Pallas head
+    kernel (ops/pallas_head.py): conv+pool+bn_out+PReLU in one VMEM pass,
+    so the full-resolution conv map never touches HBM. Params/checkpoints
+    are identical either way (init and training always take the unfused
+    path), and non-TPU / unsupported shapes fall back to it too."""
 
     depth: int
     dtype: jnp.dtype = jnp.float32
     fused_infer: bool = False
+    fused_head: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if (self.fused_head and not train and not self.is_initializing()
+                and x.shape[1] >= 2 and x.shape[2] >= 2):
+            from freesound_classification_tpu.ops import pallas_head
+            from freesound_classification_tpu.ops.pallas_kernels import (
+                _on_tpu,
+            )
+
+            if _on_tpu() and pallas_head.head_supported(x.shape, self.depth):
+                h = pallas_head.conv_block_2d_head_infer(x, self.variables)
+                return ResnetBlock2d(self.depth, self.dtype,
+                                     fused_infer=self.fused_infer,
+                                     name="resnet")(h, train)
         h = _bn(train, self.dtype, name="bn_in")(x)
         h = nn.Conv(self.depth, (3, 3), padding=1, dtype=self.dtype, name="conv")(h)
         # clamp pooling per axis once its static size hits 1 (short buckets

@@ -75,6 +75,9 @@ class TwoDimensionalCNN(nn.Module):
     # (ops/pallas_resnet.py); training/init paths are unaffected and the
     # checkpoint layout is identical either way
     fused_infer: bool = False
+    # eval-mode block0 head (conv+pool+BN+PReLU) as one fused Pallas pass
+    # (ops/pallas_head.py) — the full-res conv0 map never touches HBM
+    fused_head: bool = False
 
     @nn.compact
     def __call__(self, spec, frame_lengths, train: bool = False):
@@ -89,6 +92,7 @@ class TwoDimensionalCNN(nn.Module):
         for k, depth in enumerate(depths):
             h = ConvBlock2d(depth, self.dtype,
                             fused_infer=self.fused_infer,
+                            fused_head=self.fused_head,
                             name=f"block{k}")(h, train)
             lengths = jnp.maximum(lengths // 2, 1)
             h = mask_time_2d(h, lengths)
@@ -181,7 +185,7 @@ class HierarchicalCNN(nn.Module):
 
 
 def build_classifier(model_kind: str, config, n_classes: int, dtype=jnp.float32,
-                     fused_infer: bool = False):
+                     fused_infer: bool = False, fused_head: bool = False):
     """Construct a classifier module from a network config namespace.
 
     ``config`` needs: num_conv_blocks, start_deep_supervision_on,
@@ -189,6 +193,11 @@ def build_classifier(model_kind: str, config, n_classes: int, dtype=jnp.float32,
     (the reference CLI flag surface, train_2d_cnn.py:118-146).
     ``fused_infer`` routes eval-mode 2d resnet blocks through the fused
     Pallas kernel (inference CLIs set it; training keeps the default).
+    ``fused_head`` routes eval-mode small-C_in ConvBlock2d heads (block0)
+    through the fused conv+pool Pallas kernel (ops/pallas_head.py); it only
+    engages on TPU for supported shapes, is a no-op for init/training, and
+    keeps the checkpoint layout identical (inference CLIs flip it after the
+    model-level hardware A/B — scripts/probe_head_kernel.py).
     """
     common = dict(
         num_conv_blocks=int(config.num_conv_blocks),
@@ -201,7 +210,8 @@ def build_classifier(model_kind: str, config, n_classes: int, dtype=jnp.float32,
         dtype=dtype,
     )
     if model_kind == "2d_cnn":
-        return TwoDimensionalCNN(fused_infer=fused_infer, **common)
+        return TwoDimensionalCNN(fused_infer=fused_infer,
+                                 fused_head=fused_head, **common)
     if model_kind == "hierarchical_cnn":
         return HierarchicalCNN(fused_infer=fused_infer, **common)
     if model_kind == "backbone_cnn":

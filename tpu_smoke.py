@@ -264,6 +264,27 @@ def main() -> int:
     print(f"SMOKE: fused backbone BasicBlock ok (corr {corr_bb:.5f})  "
           f"[{time.time()-t0:.0f}s]")
 
+    # 8d. Fused ConvBlock2d head (conv+pool+bn+prelu one-pass,
+    # ops/pallas_head.py) vs the unfused flax block at the block0 shape —
+    # polyphase lane-roll taps + pooled write are Mosaic-lowering-only risks
+    from freesound_classification_tpu.models.blocks import ConvBlock2d
+
+    xh = jnp.asarray(rngx.randn(4, 128, 431, 2).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+    cb = ConvBlock2d(64, jnp.bfloat16)
+    vcb = cb.init({"params": jax.random.PRNGKey(6)}, xh, train=False)
+    cb_fused = ConvBlock2d(64, jnp.bfloat16, fused_head=True)
+    ref_h = np.asarray(jax.jit(
+        lambda v, x: cb.apply(v, x, train=False))(vcb, xh),
+        dtype=np.float32)
+    out_h = np.asarray(jax.jit(
+        lambda v, x: cb_fused.apply(v, x, train=False))(vcb, xh),
+        dtype=np.float32)
+    corr_h = float(np.corrcoef(ref_h.ravel(), out_h.ravel())[0, 1])
+    assert corr_h > 0.999, f"fused head corr {corr_h} vs flax"
+    print(f"SMOKE: fused conv-block head ok (corr {corr_h:.5f})  "
+          f"[{time.time()-t0:.0f}s]")
+
     print(f"SMOKE PASS  [{time.time()-t0:.0f}s total]")
     return 0
 
