@@ -226,7 +226,8 @@ class ConvBlock2d(nn.Module):
             )
 
             if _on_tpu() and pallas_head.head_supported(x.shape, self.depth):
-                h = pallas_head.conv_block_2d_head_infer(x, self.variables)
+                h = pallas_head.conv_block_2d_head_infer(
+                    x, self.variables, dtype=self.dtype)
                 return ResnetBlock2d(self.depth, self.dtype,
                                      fused_infer=self.fused_infer,
                                      name="resnet")(h, train)

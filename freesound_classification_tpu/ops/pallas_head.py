@@ -277,11 +277,15 @@ def head_supported(shape, depth: int) -> bool:
     )
 
 
-def conv_block_2d_head_infer(x, variables, interpret: bool | None = None):
+def conv_block_2d_head_infer(x, variables, interpret: bool | None = None,
+                             dtype: jnp.dtype | None = None):
     """Eval-mode fused head forward. x: (B, H, W, C_in) ->
     (B, H//2, W//2, depth), numerically the unfused bn_in -> conv3x3(SAME)
     -> maxpool(2,2) -> bn_out -> PReLU chain (bf16 conv accumulation order
-    differs; parity tested to bf16 tolerance)."""
+    differs; parity tested to bf16 tolerance). ``dtype`` is the block's
+    compute dtype — the output is cast to it so the fused path feeds the
+    downstream ResnetBlock exactly what the unfused PReLU would (not
+    x.dtype, which may differ for an f32 input into a bf16 model)."""
     if interpret is None:
         interpret = not _on_tpu()
     fp = fold_head_params(variables)
@@ -290,4 +294,5 @@ def conv_block_2d_head_infer(x, variables, interpret: bool | None = None):
     out = _head_vmappable(bool(interpret))(
         xp, wall, fp["scale"], fp["bias"], fp["alpha"])
     w_out = x.shape[2] // 2
-    return jnp.transpose(out[:, :, :, :w_out], (0, 1, 3, 2)).astype(x.dtype)
+    out = jnp.transpose(out[:, :, :, :w_out], (0, 1, 3, 2))
+    return out.astype(x.dtype if dtype is None else dtype)

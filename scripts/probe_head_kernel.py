@@ -126,28 +126,39 @@ def main():
     model0 = build(False)
     variables = model0.init({"params": jax.random.PRNGKey(0)}, inputs, fl,
                             train=False)
+    # nudge batch_stats off init so the head's bn folding is non-degenerate
+    variables = {
+        "params": variables["params"],
+        "batch_stats": jax.tree.map(
+            lambda v: v + 0.3 * jnp.asarray(
+                np.random.RandomState(2).rand(*v.shape), v.dtype),
+            variables["batch_stats"]),
+    }
     stacked = jax.tree.map(lambda v: jnp.stack([v] * 5), variables)
 
     def make_predict(fused_head):
         model = build(fused_head)
 
-        def predict(wave, lengths):
+        # stacked params are an explicit argument (never close a jit over
+        # big device arrays — they embed as MLIR consts, CLAUDE.md)
+        def predict(sv, wave, lengths):
             xf, f = frontend(wave, lengths)
 
             def one_fold(v):
                 return model.apply(v, xf, f, train=False)["class_logits"]
 
-            logits = jax.vmap(one_fold)(stacked)
+            logits = jax.vmap(one_fold)(sv)
             return jnp.mean(jax.nn.sigmoid(logits), axis=0)
 
         return jax.jit(predict)
 
     plain = make_predict(False)
     fused = make_predict(True)
-    t_plain = timed(plain, wave, lengths, label="fused_head=False (production)")
-    t_fused = timed(fused, wave, lengths, label="fused_head=True")
-    p1 = np.asarray(plain(wave, lengths), np.float32)
-    p2 = np.asarray(fused(wave, lengths), np.float32)
+    t_plain = timed(plain, stacked, wave, lengths,
+                    label="fused_head=False (production)")
+    t_fused = timed(fused, stacked, wave, lengths, label="fused_head=True")
+    p1 = np.asarray(plain(stacked, wave, lengths), np.float32)
+    p2 = np.asarray(fused(stacked, wave, lengths), np.float32)
     print(f"  max abs prob diff: {np.max(np.abs(p1 - p2)):.2e}")
     print(f"  model-level: {t_plain:.2f} -> {t_fused:.2f} ms "
           f"({t_plain/t_fused:.2f}x)")

@@ -273,6 +273,15 @@ def main() -> int:
                      ).astype(jnp.bfloat16)
     cb = ConvBlock2d(64, jnp.bfloat16)
     vcb = cb.init({"params": jax.random.PRNGKey(6)}, xh, train=False)
+    # nudge batch_stats off init (mean=0, var=1) so the bn folding
+    # arithmetic in fold_head_params is non-degenerate on the chip
+    vcb = {
+        "params": vcb["params"],
+        "batch_stats": jax.tree.map(
+            lambda v: v + 0.3 * jnp.asarray(
+                np.random.RandomState(7).rand(*v.shape), v.dtype),
+            vcb["batch_stats"]),
+    }
     cb_fused = ConvBlock2d(64, jnp.bfloat16, fused_head=True)
     ref_h = np.asarray(jax.jit(
         lambda v, x: cb.apply(v, x, train=False))(vcb, xh),
