@@ -172,24 +172,36 @@ def main():
         out = infer_5fold(wave, ln)
     float(jnp.sum(out))
 
-    # FLOP / HBM-byte totals from XLA's own compiled cost analysis, summed
-    # over every executed program (compiles are cached — the jit above
-    # already built each shape). "flops" counts each MAC as 2; with a bf16
-    # model the convs/matmuls dominate, so MFU is vs the v5e bf16 MXU peak.
+    # FLOP / HBM-byte totals per executed program (compiles are cached —
+    # the jit above already built each shape). "flops" counts each MAC as
+    # 2; with a bf16 model the convs/matmuls dominate, so MFU is vs the
+    # v5e bf16 MXU peak. Traffic uses the repo's single utilization
+    # semantics (utils/hlo_traffic.py): post-fusion top-level HLO traffic,
+    # the same measure as scripts/probe_traffic_floor.py — XLA's "bytes
+    # accessed" is kept only as an explicitly-labeled upper bound.
+    from freesound_classification_tpu.utils.hlo_traffic import (
+        compiled_traffic_bytes,
+    )
+
     total_flops = 0.0
     total_bytes = 0.0
+    total_bytes_ub = 0.0
     cost_by_shape: dict = {}
     try:
         for wave, ln in batches:
             shape = wave.shape
             if shape not in cost_by_shape:
+                compiled = infer_5fold.lower(wave, ln).compile()
                 cost_by_shape[shape] = (
-                    infer_5fold.lower(wave, ln).compile().cost_analysis())
-            ca = cost_by_shape[shape]
+                    compiled.cost_analysis(),
+                    compiled_traffic_bytes(compiled),
+                )
+            ca, traffic = cost_by_shape[shape]
             total_flops += float(ca.get("flops", 0.0))
-            total_bytes += float(ca.get("bytes accessed", 0.0))
+            total_bytes += float(traffic)
+            total_bytes_ub += float(ca.get("bytes accessed", 0.0))
     except Exception:
-        total_flops = total_bytes = 0.0  # cost analysis backend-dependent
+        total_flops = total_bytes = total_bytes_ub = 0.0  # backend-dependent
 
     # timed: the full 5-fold ensemble over the whole test set
     t0 = time.time()
@@ -209,13 +221,16 @@ def main():
         "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 2),
     }
     if total_flops > 0:
-        # v5e-1 peaks: 197 TFLOP/s bf16 MXU, 819 GB/s HBM. mfu = achieved
-        # FLOP/s (XLA cost analysis over every executed program / wall
-        # time) vs MXU peak; hbm_gbps = the same programs' "bytes accessed"
-        # per second — an upper bound on true HBM traffic (it counts
-        # fusion-internal accesses), so utilization is judged conservative.
+        # v5e-1 peaks: 197 TFLOP/s bf16 MXU, 819 GB/s HBM (708 GB/s
+        # measured sustainable, scripts/probe_stream_bw.py). mfu =
+        # achieved FLOP/s vs MXU peak; hbm_gbps = post-fusion top-level
+        # HLO traffic per second (the floor-probe semantics);
+        # hbm_gbps_xla_ub = XLA "bytes accessed" per second, an upper
+        # bound counting fusion-internal reads, kept for continuity with
+        # BENCH_r03 and earlier.
         record["mfu"] = round(total_flops / dt / 197e12, 4)
         record["hbm_gbps"] = round(total_bytes / dt / 1e9, 1)
+        record["hbm_gbps_xla_ub"] = round(total_bytes_ub / dt / 1e9, 1)
     print(json.dumps(record))
 
 

@@ -170,16 +170,20 @@ def main():
     step_aug = jax.jit(make_train_step(True), donate_argnums=(0,))
 
     def timed_step(step, state, label):
-        # XLA's own cost analysis of the compiled step: flops counts each
-        # MAC as 2; "bytes accessed" upper-bounds HBM traffic (it includes
-        # fusion-internal accesses). v5e-1 peaks: 197 TFLOP/s bf16 MXU,
-        # 819 GB/s HBM (VERDICT r2 #5: report utilization, not only vs
-        # the GPU baseline).
+        # flops from XLA cost analysis (each MAC counts 2); traffic via the
+        # repo's single utilization semantics — post-fusion top-level HLO
+        # traffic (utils/hlo_traffic.py, the floor-probe measure), NOT
+        # XLA "bytes accessed" which upper-bounds by counting
+        # fusion-internal reads. v5e-1 peaks: 197 TFLOP/s bf16 MXU,
+        # 819 GB/s HBM (708 sustainable, scripts/probe_stream_bw.py).
+        from freesound_classification_tpu.utils.hlo_traffic import (
+            compiled_traffic_bytes,
+        )
         try:
-            ca = step.lower(state, wave, lengths, labels).compile(
-                ).cost_analysis()
+            compiled = step.lower(state, wave, lengths, labels).compile()
+            ca = compiled.cost_analysis()
             flops = float(ca.get("flops", 0.0))
-            bts = float(ca.get("bytes accessed", 0.0))
+            bts = float(compiled_traffic_bytes(compiled))
         except Exception:
             flops = bts = 0.0
         t0 = time.time()
@@ -195,7 +199,7 @@ def main():
         if flops > 0 and ms > 0:
             mfu = flops / (ms * 1e-3) / 197e12
             gbps = bts / (ms * 1e-3) / 1e9
-            util = f"   mfu={mfu:.3f}  hbm<={gbps:.0f} GB/s"
+            util = f"   mfu={mfu:.3f}  hbm={gbps:.0f} GB/s (post-fusion)"
         print(f"{label:34s} {ms:9.2f} ms   (compile+1 {compile_s:5.1f}s)"
               f"{util}", flush=True)
         return state

@@ -20,7 +20,9 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-from probe_traffic_floor import entry_traffic  # noqa: E402
+from freesound_classification_tpu.utils.hlo_traffic import (  # noqa: E402
+    entry_traffic,
+)
 
 SR = 44100
 SECONDS = 10

@@ -29,7 +29,6 @@ Usage: PYTHONPATH=/root/repo python scripts/probe_traffic_floor.py
 
 from __future__ import annotations
 
-import re
 import time
 
 import jax
@@ -46,93 +45,9 @@ N_CLASSES = 80
 FEATURES = "mel_2048_1024_128"
 PEAK_GBPS = 819.0
 
-_DTYPE_BYTES = {
-    "f64": 8, "f32": 4, "f16": 2, "bf16": 2, "f8e4m3fn": 1, "f8e5m2": 1,
-    "s64": 8, "u64": 8, "s32": 4, "u32": 4, "s16": 2, "u16": 2,
-    "s8": 1, "u8": 1, "pred": 1, "c64": 8, "c128": 16, "token": 0,
-    "s4": 1, "u4": 1,
-}
-
-# instructions that do not move data at runtime (aliases / metadata)
-_FREE_OPS = {
-    "parameter", "constant", "tuple", "get-tuple-element", "bitcast",
-    "after-all", "iota",  # iota is generated on the fly inside a kernel
-}
-
-
-def _shape_bytes(shape: str) -> int:
-    """'f32[64,215,64]' or tuple '(f32[2], bf16[3,4])' -> buffer bytes."""
-    total = 0
-    for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", shape):
-        if dt not in _DTYPE_BYTES:
-            continue
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        total += n * _DTYPE_BYTES[dt]
-    return total
-
-
-_INSTR_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*"
-    r"(\((?:[^()]|\([^)]*\))*\)|[\w\[\],]+)\s+"
-    r"([\w\-]+)\((.*)$")
-
-
-def entry_traffic(hlo_text: str, top: int = 12):
-    """Sum top-level operand+output bytes over the ENTRY computation.
-
-    Returns (total_bytes, [(bytes, line) top offenders], per-op totals).
-    """
-    # strip layout annotations: f32[8,128]{1,0:T(8,128)(2,1)S(1)} -> f32[8,128]
-    hlo_text = re.sub(r"\]\{[^}]*\}", "]", hlo_text)
-    lines = hlo_text.splitlines()
-    # find the ENTRY computation block
-    entry_start = None
-    for i, ln in enumerate(lines):
-        if ln.startswith("ENTRY "):
-            entry_start = i
-            break
-    assert entry_start is not None, "no ENTRY computation found"
-    # shapes of every named value in ENTRY (for operand lookups)
-    shapes: dict[str, str] = {}
-    body: list[str] = []
-    depth = 0
-    for ln in lines[entry_start:]:
-        depth += ln.count("{") - ln.count("}")
-        body.append(ln)
-        if depth <= 0 and len(body) > 1:
-            break
-    for ln in body:
-        m = _INSTR_RE.match(ln)
-        if m:
-            shapes[m.group(1)] = m.group(2)
-
-    total = 0
-    offenders: list[tuple[int, str]] = []
-    by_op: dict[str, int] = {}
-    for ln in body:
-        m = _INSTR_RE.match(ln)
-        if not m:
-            continue
-        name, shape, op = m.group(1), m.group(2), m.group(3)
-        if op in _FREE_OPS:
-            continue
-        out_b = _shape_bytes(shape)
-        # operands: everything up to the closing paren of the arg list
-        args = m.group(4).split("), ")[0]
-        opnd_b = 0
-        for ref in re.findall(r"%([\w.\-]+)", args):
-            if ref in shapes:
-                opnd_b += _shape_bytes(shapes[ref])
-        instr_total = out_b + opnd_b
-        total += instr_total
-        by_op[op] = by_op.get(op, 0) + instr_total
-        offenders.append((instr_total, f"{op:24s} out={out_b/1e6:8.1f} MB"
-                          f" operands={opnd_b/1e6:8.1f} MB  {name[:60]}"))
-    offenders.sort(key=lambda t: -t[0])
-    return total, offenders[:top], by_op
+from freesound_classification_tpu.utils.hlo_traffic import (  # noqa: E402
+    entry_traffic,
+)
 
 
 def main():
