@@ -249,8 +249,39 @@ class MultiFoldEngine:
             )
             return state, loss, metric
 
-        vstep = jax.vmap(one_fold_step, in_axes=(0, 0, None, 0, 0))
-        self._vmapped_step = jax.jit(vstep, donate_argnums=(0,),
+        def stepper(states, batch, aug_scale, n_real, partner):
+            vstep = jax.vmap(
+                lambda s, b, nr, pt: one_fold_step(s, b, aug_scale, nr, pt),
+                in_axes=(0, 0, 0, 0))
+            if self.mesh.devices.size > 1:
+                # Manual over "fold", GSPMD-auto over "data" (if present).
+                # Two reasons, both measured on the 8-device CPU mesh:
+                # 1. The fold axis never enters GSPMD sharding propagation,
+                #    so the vmapped conv grads' fold-merging reshapes cannot
+                #    provoke "Involuntary full rematerialization" resharding
+                #    (MULTICHIP_r03 tail — replicate-then-partition
+                #    fallbacks on every resnet conv grad; gate test
+                #    TestFoldDpNoRemat).
+                # 2. GSPMD-auto handling of the fold axis CHANGES NUMERICS
+                #    vs the per-fold truth: at init, the eval forward's
+                #    logits |sum| came out 55.7 under fold-axis GSPMD vs
+                #    27.1 per-fold / 27.1 under shard_map — the fallback
+                #    resharding is not value-preserving on this backend.
+                #    With the fold axis manual, both the 1-D fold mesh and
+                #    the fold x dp mesh match the unvmapped per-fold step
+                #    (TestFoldDpMesh equivalence + truth tests).
+                # Within-fold grad/BN collectives are still inserted over
+                # "data" by GSPMD, exactly as in the 1-D DP engine;
+                # cross-fold traffic is structurally zero.
+                vstep = jax.shard_map(
+                    vstep, mesh=self.mesh,
+                    in_specs=(P("fold"), P("fold"), P("fold"), P("fold")),
+                    out_specs=P("fold"),
+                    axis_names=frozenset({"fold"}),
+                    check_vma=False)
+            return vstep(states, batch, n_real, partner)
+
+        self._vmapped_step = jax.jit(stepper, donate_argnums=(0,),
                                      static_argnums=(2,))
 
     # ------------------------------------------------------------------
