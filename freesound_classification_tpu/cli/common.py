@@ -509,6 +509,25 @@ def predict_ordered(engine: Engine, loader, tta_fn=None,
     return out
 
 
+def reject_degenerate_tta(parser: argparse.ArgumentParser, args) -> None:
+    """Error out when ``--n_tta > 1`` with every stochastic knob off.
+
+    The eval step is deterministic, so TTA without a stochastic transform
+    averages n identical passes — the reference's ``--n_tta`` habit
+    (evaluate_2d_cnn.py:100) would silently pay n× for nothing here."""
+    tta_stochastic = (getattr(args, "tta_max_audio_length", None) is not None
+                      or getattr(args, "tta_noise_snr_db", 0.0) > 0.0
+                      or getattr(args, "tta_shift_max_s", 0.0) > 0.0
+                      or getattr(args, "tta_shuffle_p", 0.0) > 0.0)
+    if args.n_tta > 1 and not tta_stochastic:
+        parser.error(
+            "--n_tta > 1 requires a stochastic TTA mode "
+            "(--tta_max_audio_length, --tta_noise_snr_db, "
+            "--tta_shift_max_s or --tta_shuffle_p): inference is "
+            "deterministic, so TTA without one would average identical "
+            "passes")
+
+
 def make_tta_fn(noise_snr_db: float, shift_max_s: float,
                 shuffle_p: float = 0.0):
     """Build the on-device TTA perturbation from CLI knobs (None if off).

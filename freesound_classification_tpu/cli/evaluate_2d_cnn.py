@@ -68,6 +68,7 @@ def main(argv=None):
                         help="backend to run evaluation on (reference "
                              "evaluate_2d_cnn.py:69 --device)")
     args = parser.parse_args(argv)
+    common.reject_degenerate_tta(parser, args)
     common.initialize_accelerator(args.device)
 
     experiment = Experiment(resume_from=args.experiment)

@@ -102,17 +102,7 @@ def main(argv=None):
     )
     add_predict_arguments(parser)
     args = parser.parse_args(argv)
-    tta_stochastic = (args.tta_max_audio_length is not None
-                      or args.tta_noise_snr_db > 0.0
-                      or args.tta_shift_max_s > 0.0
-                      or args.tta_shuffle_p > 0.0)
-    if args.n_tta > 1 and not tta_stochastic:
-        parser.error(
-            "--n_tta > 1 requires a stochastic TTA mode "
-            "(--tta_max_audio_length, --tta_noise_snr_db, "
-            "--tta_shift_max_s or --tta_shuffle_p): inference is "
-            "deterministic, so TTA without one would average identical "
-            "passes")
+    common.reject_degenerate_tta(parser, args)
     common.initialize_accelerator(args.device)
 
     experiment = Experiment(resume_from=args.experiment)
