@@ -28,3 +28,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+
+def pytest_configure(config):
+    # compile-heavy cases (end-to-end CLI drivers, learning gates,
+    # multi-epoch fold training): `-m "not slow"` is the fast pass for
+    # iterating on this 1-core box; the full suite stays the merge gate
+    config.addinivalue_line(
+        "markers",
+        "slow: compile-heavy case (deselect with -m 'not slow')")
