@@ -58,6 +58,12 @@ def build_model_and_params(key):
         # regressed this bench 1847 -> 665 clips/s); the plain flax block
         # is the production inference path (scripts/probe_fused_infer.py)
         fused_infer=False,
+        # block0-only phase-decomposed conv+pool (4 stride-2 phase convs +
+        # one elementwise max instead of conv + reduce-window): model-level
+        # 5-fold A/B 49.9 -> 47.3 ms, reproduced on cached binaries
+        # (scripts/probe_phase_pool.py, v5e-1). Deeper blocks LOSE (the 4x
+        # input re-reads outgrow the pool savings: blocks 0-1 0.95x).
+        phase_pool=(True,),
     )
     # bf16 model: single-bf16-pass block-DFT (the model quantizes its
     # input to bf16 regardless; logit corr vs the 3-pass oracle gated in

@@ -200,6 +200,9 @@ def build_engine(args, experiment, model_kind: str, n_classes: int,
         # eval forwards fold BN into the conv weights (ops/pallas_resnet);
         # init/training paths are unaffected, checkpoints identical
         fused_infer=bool(getattr(args, "fused_infer", False)),
+        # eval-mode phase-decomposed conv+pool (blocks.phase_conv_pool_*);
+        # inference CLIs pass the probe-gated per-block tuple
+        phase_pool=getattr(args, "phase_pool", False),
     )
     frontend = Frontend(
         args.features, MODEL_FAMILY[model_kind], sr=SR,

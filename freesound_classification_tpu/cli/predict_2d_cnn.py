@@ -84,6 +84,11 @@ def build_inference_engine(args, experiment, model_kind, fold, example_loader):
         # scripts/probe_fused_infer.py and ROADMAP.md). The fused kernels
         # remain available via models' fused_infer/use_pallas_kernel opts.
         fused_infer=False,
+        # block0-only phase-decomposed conv+pool for the 2d CNN: model-level
+        # 5-fold A/B 49.9 -> 47.3 ms on v5e-1, reproduced on cached
+        # binaries (scripts/probe_phase_pool.py). Deeper blocks lose (4x
+        # input re-reads); the 1d/backbone towers are unprobed — keep off.
+        phase_pool=((True,) if model_kind == "2d_cnn" else False),
         mesh_devices=getattr(args, "mesh_devices", None),
         loss=(cfg.train._loss if "_loss" in cfg.train else "lsep_naive"),
         mixup_exact_add=False,

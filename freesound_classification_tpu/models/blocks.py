@@ -57,6 +57,95 @@ def _max_pool(h: jnp.ndarray, window: tuple) -> jnp.ndarray:
     return nn.max_pool(h, window, strides=window)
 
 
+def _phase_pad(n: int, phase: int) -> tuple:
+    """SAME-conv padding for one stride-2 pool-phase conv along an axis.
+
+    For a k=3 SAME conv followed by max_pool(2, stride 2, VALID), pooled
+    output j along this axis takes conv outputs {2j, 2j+1}; the phase-p
+    stride-2 conv must emit exactly out = n//2 elements at positions
+    2j + p.  Conv output index i covers input [i*2 - lo, ...], and the
+    stride-1 SAME conv centres tap 1 on the output position, so
+    lo = 1 - p; hi is the smallest of {0, 1} reaching out elements
+    (exact for every n >= 2, see tests/test_phase_pool.py).
+    """
+    out = n // 2
+    lo = 1 - phase
+    hi = 0 if (n + lo - 3) // 2 + 1 >= out else 1
+    return (lo, hi)
+
+
+def phase_conv_pool_2d(h: jnp.ndarray, kernel: jnp.ndarray,
+                       bias: jnp.ndarray, window: tuple,
+                       dtype) -> jnp.ndarray:
+    """conv3x3(SAME) -> max_pool(window, stride=window) with the full-
+    resolution conv map never materialized: one stride-2 conv per pool
+    phase (shared kernel, phase-specific padding) + ONE elementwise max.
+
+    Why: scripts/probe_pool_rank.py measured the reduce-window pool at
+    ~145 GB/s effective on the merged block0 map — intrinsic to windowed
+    reads of half-lane C=64-minor bf16 tiles, not to the lowering — and
+    bound the avoided-materialization prize at ~10.7 ms of the 5-fold
+    predict program. The Pallas fused-head kernel harvesting the same
+    prize LOST at model level to its custom-call integration boundary
+    (docs/STUDIES.md); this is the pure-XLA lowering that fuses through:
+    each phase conv computes exactly the contractions the stride-1 conv
+    computes at the surviving positions (bit-exact, tests/
+    test_phase_pool.py), the 4 quarter-size outputs stream through one
+    elementwise maximum (with bn_out/PReLU fused behind it), and no
+    full-resolution tensor is ever written or windowed-read.
+
+    Eval-mode only (the select-and-scatter VJP of reduce_window is the
+    proven training backward, scripts/probe_maxpool_bwd.py). Pool-clamped
+    axes (window 1) run a single stride-1 SAME phase.
+    """
+    wh, ww = window
+    h = h.astype(dtype)
+    kernel = kernel.astype(dtype)
+    bias = bias.astype(dtype)
+    outs = []
+    for ph in range(wh):
+        for pw in range(ww):
+            pad = (
+                _phase_pad(h.shape[1], ph) if wh == 2 else (1, 1),
+                _phase_pad(h.shape[2], pw) if ww == 2 else (1, 1),
+            )
+            outs.append(
+                jax.lax.conv_general_dilated(
+                    h, kernel, window_strides=(wh, ww), padding=pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            )
+    y = outs[0]
+    for o in outs[1:]:
+        y = jnp.maximum(y, o)
+    # bias commutes with max (monotone rounding): add once, post-max
+    return y + bias
+
+
+def phase_conv_pool_1d(h: jnp.ndarray, kernel: jnp.ndarray,
+                       bias: jnp.ndarray, window: int,
+                       dtype) -> jnp.ndarray:
+    """1d analogue of ``phase_conv_pool_2d``: conv3(SAME) -> max_pool(2)
+    as two stride-2 phase convs + one elementwise max (bit-exact,
+    tests/test_phase_pool.py). h: (B, T, C); window 1 = clamped axis."""
+    h = h.astype(dtype)
+    kernel = kernel.astype(dtype)
+    bias = bias.astype(dtype)
+    outs = []
+    for p in range(window):
+        pad = (_phase_pad(h.shape[1], p) if window == 2 else (1, 1),)
+        outs.append(
+            jax.lax.conv_general_dilated(
+                h, kernel, window_strides=(window,), padding=pad,
+                dimension_numbers=("NTC", "TIO", "NTC"),
+            )
+        )
+    y = outs[0]
+    for o in outs[1:]:
+        y = jnp.maximum(y, o)
+    return y + bias
+
+
 class PReLU(nn.Module):
     """Per-channel PReLU over the trailing (channel) axis, init 0.25."""
 
@@ -179,21 +268,30 @@ class ResnetBlock2d(nn.Module):
 class ConvBlock1d(nn.Module):
     """BN -> Conv1d(k=3, pad 1) -> MaxPool(2) -> BN -> PReLU -> ResnetBlock.
 
-    reference networks/classifiers.py:147-161. Halves the time axis."""
+    reference networks/classifiers.py:147-161. Halves the time axis.
+    ``phase_pool=True`` routes eval-mode forwards through the
+    phase-decomposed conv+pool lowering (``phase_conv_pool_1d``)."""
 
     depth: int
     dtype: jnp.dtype = jnp.float32
     fused_infer: bool = False
+    phase_pool: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = _bn(train, self.dtype, name="bn_in")(x)
-        h = nn.Conv(self.depth, (3,), padding=1, dtype=self.dtype, name="conv")(h)
         # clamp the pool once the (static, per-bucket) time axis hits 1 —
         # torch's MaxPool1d(2) would error there; deep towers on short
         # buckets must stay well-defined
-        wt = 2 if h.shape[1] >= 2 else 1
-        h = _max_pool(h, (wt,))
+        wt = 2 if x.shape[1] >= 2 else 1
+        if (self.phase_pool and not train and not self.is_initializing()):
+            cp = self.variables["params"]["conv"]
+            h = phase_conv_pool_1d(h, cp["kernel"], cp["bias"], wt,
+                                   self.dtype)
+        else:
+            h = nn.Conv(self.depth, (3,), padding=1, dtype=self.dtype,
+                        name="conv")(h)
+            h = _max_pool(h, (wt,))
         h = _bn(train, self.dtype, name="bn_out")(h)
         h = PReLU(self.depth, name="prelu")(h)
         return ResnetBlock1d(self.depth, self.dtype,
@@ -204,17 +302,24 @@ class ConvBlock1d(nn.Module):
 class ConvBlock2d(nn.Module):
     """2d variant (reference networks/classifiers.py:524-538). Halves H and W.
 
+    ``phase_pool=True`` routes eval-mode forwards through the phase-
+    decomposed conv+pool lowering (``phase_conv_pool_2d``): 4 stride-2
+    convs + one elementwise max instead of stride-1 conv + reduce-window,
+    bit-exact, never materializing the full-resolution conv map.
+
     ``fused_head=True`` routes eval-mode forwards of small-C_in stages
     (block0's 2-channel spectrogram input) through the fused Pallas head
     kernel (ops/pallas_head.py): conv+pool+bn_out+PReLU in one VMEM pass,
-    so the full-resolution conv map never touches HBM. Params/checkpoints
-    are identical either way (init and training always take the unfused
-    path), and non-TPU / unsupported shapes fall back to it too."""
+    so the full-resolution conv map never touches HBM. RETIRED from
+    production (model-level 0.68x, docs/STUDIES.md). Params/checkpoints
+    are identical in every mode (init and training always take the
+    unfused path), and non-TPU / unsupported shapes fall back to it too."""
 
     depth: int
     dtype: jnp.dtype = jnp.float32
     fused_infer: bool = False
     fused_head: bool = False
+    phase_pool: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -232,12 +337,18 @@ class ConvBlock2d(nn.Module):
                                      fused_infer=self.fused_infer,
                                      name="resnet")(h, train)
         h = _bn(train, self.dtype, name="bn_in")(x)
-        h = nn.Conv(self.depth, (3, 3), padding=1, dtype=self.dtype, name="conv")(h)
         # clamp pooling per axis once its static size hits 1 (short buckets
         # under deep towers; see ConvBlock1d)
-        wh = 2 if h.shape[1] >= 2 else 1
-        ww = 2 if h.shape[2] >= 2 else 1
-        h = _max_pool(h, (wh, ww))
+        wh = 2 if x.shape[1] >= 2 else 1
+        ww = 2 if x.shape[2] >= 2 else 1
+        if (self.phase_pool and not train and not self.is_initializing()):
+            cp = self.variables["params"]["conv"]
+            h = phase_conv_pool_2d(h, cp["kernel"], cp["bias"],
+                                   (wh, ww), self.dtype)
+        else:
+            h = nn.Conv(self.depth, (3, 3), padding=1, dtype=self.dtype,
+                        name="conv")(h)
+            h = _max_pool(h, (wh, ww))
         h = _bn(train, self.dtype, name="bn_out")(h)
         h = PReLU(self.depth, name="prelu")(h)
         return ResnetBlock2d(self.depth, self.dtype,

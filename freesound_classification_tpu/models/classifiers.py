@@ -23,7 +23,7 @@ Design differences from the reference (deliberate, TPU-first):
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -76,8 +76,18 @@ class TwoDimensionalCNN(nn.Module):
     # checkpoint layout is identical either way
     fused_infer: bool = False
     # eval-mode block0 head (conv+pool+BN+PReLU) as one fused Pallas pass
-    # (ops/pallas_head.py) — the full-res conv0 map never touches HBM
+    # (ops/pallas_head.py) — the full-res conv0 map never touches HBM.
+    # RETIRED from production (model-level 0.68x, docs/STUDIES.md).
     fused_head: bool = False
+    # eval-mode phase-decomposed conv+pool (blocks.phase_conv_pool_2d):
+    # True/False for all blocks, or a per-block tuple of bools
+    phase_pool: Union[bool, Sequence[bool]] = False
+
+    def _phase_pool_for(self, k: int) -> bool:
+        if isinstance(self.phase_pool, (tuple, list)):
+            return bool(self.phase_pool[k]) if k < len(self.phase_pool) \
+                else False
+        return bool(self.phase_pool)
 
     @nn.compact
     def __call__(self, spec, frame_lengths, train: bool = False):
@@ -93,6 +103,7 @@ class TwoDimensionalCNN(nn.Module):
             h = ConvBlock2d(depth, self.dtype,
                             fused_infer=self.fused_infer,
                             fused_head=self.fused_head,
+                            phase_pool=self._phase_pool_for(k),
                             name=f"block{k}")(h, train)
             lengths = jnp.maximum(lengths // 2, 1)
             h = mask_time_2d(h, lengths)
@@ -143,6 +154,15 @@ class HierarchicalCNN(nn.Module):
     # block (ops/pallas_resnet1d.py); training/init paths are unaffected
     # and the checkpoint layout is identical either way
     fused_infer: bool = False
+    # eval-mode phase-decomposed conv+pool (blocks.phase_conv_pool_1d):
+    # True/False for all blocks, or a per-block tuple of bools
+    phase_pool: Union[bool, Sequence[bool]] = False
+
+    def _phase_pool_for(self, k: int) -> bool:
+        if isinstance(self.phase_pool, (tuple, list)):
+            return bool(self.phase_pool[k]) if k < len(self.phase_pool) \
+                else False
+        return bool(self.phase_pool)
 
     @nn.compact
     def __call__(self, feats_ntc, frame_lengths, train: bool = False):
@@ -156,6 +176,7 @@ class HierarchicalCNN(nn.Module):
         for k, depth in enumerate(depths):
             h = ConvBlock1d(depth, self.dtype,
                             fused_infer=self.fused_infer,
+                            phase_pool=self._phase_pool_for(k),
                             name=f"block{k}")(h, train)
             lengths = jnp.maximum(lengths // 2, 1)
             h = mask_time(h, lengths)
@@ -185,19 +206,24 @@ class HierarchicalCNN(nn.Module):
 
 
 def build_classifier(model_kind: str, config, n_classes: int, dtype=jnp.float32,
-                     fused_infer: bool = False, fused_head: bool = False):
+                     fused_infer: bool = False, fused_head: bool = False,
+                     phase_pool=False):
     """Construct a classifier module from a network config namespace.
 
     ``config`` needs: num_conv_blocks, start_deep_supervision_on,
     conv_base_depth, growth_rate, output_dropout, aggregation_type
     (the reference CLI flag surface, train_2d_cnn.py:118-146).
     ``fused_infer`` routes eval-mode 2d resnet blocks through the fused
-    Pallas kernel (inference CLIs set it; training keeps the default).
+    Pallas kernel (RETIRED from production — model-level regression,
+    docs/STUDIES.md; kept opt-in).
     ``fused_head`` routes eval-mode small-C_in ConvBlock2d heads (block0)
-    through the fused conv+pool Pallas kernel (ops/pallas_head.py); it only
-    engages on TPU for supported shapes, is a no-op for init/training, and
-    keeps the checkpoint layout identical (inference CLIs flip it after the
-    model-level hardware A/B — scripts/probe_head_kernel.py).
+    through the fused conv+pool Pallas kernel (ops/pallas_head.py);
+    RETIRED from production (model-level 0.68x, docs/STUDIES.md).
+    ``phase_pool`` (bool or per-block tuple) routes eval-mode conv+pool
+    heads through the phase-decomposed pure-XLA lowering
+    (blocks.phase_conv_pool_2d/_1d) — bit-exact, no-op for init/training,
+    checkpoint-identical; inference CLIs flip it per the model-level
+    hardware A/B (scripts/probe_phase_pool.py).
     """
     common = dict(
         num_conv_blocks=int(config.num_conv_blocks),
@@ -211,9 +237,11 @@ def build_classifier(model_kind: str, config, n_classes: int, dtype=jnp.float32,
     )
     if model_kind == "2d_cnn":
         return TwoDimensionalCNN(fused_infer=fused_infer,
-                                 fused_head=fused_head, **common)
+                                 fused_head=fused_head,
+                                 phase_pool=phase_pool, **common)
     if model_kind == "hierarchical_cnn":
-        return HierarchicalCNN(fused_infer=fused_infer, **common)
+        return HierarchicalCNN(fused_infer=fused_infer,
+                               phase_pool=phase_pool, **common)
     if model_kind == "backbone_cnn":
         from freesound_classification_tpu.models.backbone import CNNBackbone
 

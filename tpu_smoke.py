@@ -294,6 +294,21 @@ def main() -> int:
     print(f"SMOKE: fused conv-block head ok (corr {corr_h:.5f})  "
           f"[{time.time()-t0:.0f}s]")
 
+    # 8e. Phase-decomposed conv+pool head (PRODUCTION inference default,
+    # block0) vs the reduce-window head. Pure XLA — but the bf16 conv
+    # lowering differs by stride on TPU (MXU pass structure), so gate the
+    # chip-side tolerance here (CPU tests pin f32 bit-exactness).
+    cb_phase = ConvBlock2d(64, jnp.bfloat16, phase_pool=True)
+    out_p = np.asarray(jax.jit(
+        lambda v, x: cb_phase.apply(v, x, train=False))(vcb, xh),
+        dtype=np.float32)
+    corr_p = float(np.corrcoef(ref_h.ravel(), out_p.ravel())[0, 1])
+    mad_p = float(np.max(np.abs(ref_h - out_p)))
+    assert corr_p > 0.9999, f"phase-pool head corr {corr_p} vs flax"
+    assert mad_p < 0.1, f"phase-pool head max abs diff {mad_p}"
+    print(f"SMOKE: phase-pool head ok (corr {corr_p:.6f}, "
+          f"mad {mad_p:.2e})  [{time.time()-t0:.0f}s]")
+
     print(f"SMOKE PASS  [{time.time()-t0:.0f}s total]")
     return 0
 
