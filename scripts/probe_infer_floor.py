@@ -47,7 +47,9 @@ def main():
     model = TwoDimensionalCNN(
         num_conv_blocks=6, start_deep_supervision_on=2, conv_base_depth=64,
         growth_rate=1.5, aggregation_type="max", n_classes=N_CLASSES,
-        dtype=jnp.bfloat16)
+        dtype=jnp.bfloat16,
+        # production inference lowering (scripts/probe_phase_pool.py)
+        phase_pool=(True,))
     frontend = Frontend("mel_2048_1024_128", "2d", sr=SR, use_pallas=True,
                         dft_precision="default")
     inputs, fl = frontend(wave, lengths)
@@ -56,17 +58,21 @@ def main():
     stacked = jax.tree.map(
         lambda x: jnp.stack([x] * N_FOLDS), variables)
 
-    def predict(wave, lengths):
+    # stacked params are an explicit argument (never close a jit over big
+    # device arrays — they embed as MLIR consts and compiles crawl,
+    # CLAUDE.md; the r3 version of this probe paid ~45 min of compile
+    # for exactly that)
+    def predict(sv, wave, lengths):
         x, f = frontend(wave, lengths)
 
         def one_fold(v):
             return model.apply(v, x, f, train=False)["class_logits"]
 
-        logits = jax.vmap(one_fold)(stacked)
+        logits = jax.vmap(one_fold)(sv)
         return jnp.mean(jax.nn.sigmoid(logits), axis=0)
 
     fn = jax.jit(predict)
-    compiled = fn.lower(wave, lengths).compile()
+    compiled = fn.lower(stacked, wave, lengths).compile()
     hlo = compiled.as_text()
     ca = compiled.cost_analysis()
     ca_bytes = float(ca.get("bytes accessed", 0.0))
@@ -80,12 +86,12 @@ def main():
         float(jnp.sum(probe))
         vals.append(time.time() - t0)
     rtt = float(np.median(vals))
-    out = fn(wave, lengths)
+    out = fn(stacked, wave, lengths)
     float(jnp.sum(out))
     n = 20
     t0 = time.time()
     for _ in range(n):
-        out = fn(wave, lengths)
+        out = fn(stacked, wave, lengths)
     float(jnp.sum(out))
     wall_ms = (time.time() - t0 - rtt) / n * 1e3
 
