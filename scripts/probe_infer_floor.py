@@ -29,7 +29,11 @@ SECONDS = 10
 N_CLASSES = 80
 N_FOLDS = 5
 PEAK_GBPS = 819.0
-SUSTAINED_GBPS = 708.0  # probe_stream_bw.py
+SUSTAINED_GBPS = 708.0  # probe_stream_bw.py (full-lane f32 streams)
+# what a pure y=a*x stream achieves at the program's OWN dominant shape
+# (fold-merged rank-5 bf16, C=64-minor half-lane tiles) — the honest
+# apples-to-apples ceiling for this program (probe_infer_closure.py)
+LAYOUT_GBPS = 517.0
 PEAK_BF16 = 197e12
 
 
@@ -102,6 +106,9 @@ def main():
     print(f"post-fusion entry traffic  : {top_bytes/1e9:8.2f} GB "
           f"-> {gbps:6.0f} GB/s = {gbps/SUSTAINED_GBPS*100:5.1f}% of "
           f"sustainable ({gbps/PEAK_GBPS*100:5.1f}% of peak)")
+    print(f"vs layout-matched ceiling  : {gbps/LAYOUT_GBPS*100:5.1f}% "
+          f"of {LAYOUT_GBPS:.0f} GB/s (C=64-minor bf16 stream, "
+          f"probe_infer_closure.py)")
     print(f"mfu (bf16 peak)            : "
           f"{flops/(wall_ms*1e-3)/PEAK_BF16:8.3f}")
     print("\ntraffic by op type:")
