@@ -132,10 +132,15 @@ def main(argv=None):
         num_workers=args.num_workers,
     )
 
-    if not args.no_vmap_folds and args.n_tta <= 1:
+    if not args.no_vmap_folds:
         # one vmapped program over all folds: featurization shared, folds
-        # batched on the MXU (training/ensemble.py; ~4x the sequential path)
+        # batched on the MXU (training/ensemble.py; ~4x the sequential
+        # path). TTA stays on this path: each pass perturbs once and
+        # feeds all folds (see EnsemblePredictor.predict_loader for the
+        # documented divergence from the reference's per-fold draws).
         import os as _os
+
+        import jax
 
         from freesound_classification_tpu.training.ensemble import (
             EnsemblePredictor,
@@ -149,7 +154,14 @@ def main(argv=None):
         ]
         predictor = EnsemblePredictor.from_checkpoints(
             engine.model, engine.frontend, paths, engine.state)
-        all_predictions = predictor.predict_loader(loader)
+        tta_fn = None
+        if args.n_tta > 1:
+            tta_fn = common.make_tta_fn(
+                args.tta_noise_snr_db, args.tta_shift_max_s,
+                shuffle_p=args.tta_shuffle_p)
+        all_predictions = predictor.predict_loader(
+            loader, tta_fn=tta_fn, tta_key=jax.random.PRNGKey(0),
+            n_tta=args.n_tta)
     else:
         all_predictions = np.zeros(
             (len(test_df), len(class_names)), np.float64)

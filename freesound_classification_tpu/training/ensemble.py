@@ -37,17 +37,22 @@ class EnsemblePredictor:
         self.frontend = frontend
         self.stacked_variables = stacked_variables
 
-        def predict(wave, lengths):
+        # stacked params are an explicit jit argument: closing over them
+        # embeds 5x full model params as MLIR consts and the compile
+        # crawls (CLAUDE.md probe rule; measured ~45 min vs ~1 min for
+        # the bench-scale 5-fold program)
+        def predict(sv, wave, lengths):
             inputs, fl = frontend(wave, lengths)
 
             def one_fold(variables):
                 out = model.apply(variables, inputs, fl, train=False)
                 return out["class_logits"]
 
-            logits = jax.vmap(one_fold)(self.stacked_variables)  # (K, B, C)
+            logits = jax.vmap(one_fold)(sv)  # (K, B, C)
             return jnp.mean(jax.nn.sigmoid(logits), axis=0)
 
         self._predict = jax.jit(predict)
+        self._tta_jit = None
 
     @classmethod
     def from_checkpoints(cls, model, frontend: Frontend,
@@ -69,18 +74,43 @@ class EnsemblePredictor:
 
     def predict_batch(self, wave, lengths) -> jnp.ndarray:
         """(B, L) waveforms -> (B, C) fold-averaged probabilities."""
-        return self._predict(jnp.asarray(wave), jnp.asarray(lengths))
+        return self._predict(self.stacked_variables, jnp.asarray(wave),
+                             jnp.asarray(lengths))
 
-    def predict_loader(self, loader) -> np.ndarray:
+    def predict_loader(self, loader, tta_fn=None, tta_key=None,
+                       n_tta: int = 1) -> np.ndarray:
         """Fold-averaged probabilities over a bucketed loader, in dataset
-        order (mirrors cli.common.predict_ordered)."""
-        probs_chunks, idx_chunks = [], []
-        for batch in loader:
-            probs = self.predict_batch(batch["signal"], batch["lengths"])
-            probs_chunks.append(np.asarray(probs))
-            idx_chunks.append(batch["index"])
-        probs = np.concatenate(probs_chunks)
-        order = np.concatenate(idx_chunks)
-        out = np.zeros_like(probs)
-        out[order] = probs
-        return out
+        order (mirrors cli.common.predict_ordered), averaged over
+        ``n_tta`` loader sweeps.
+
+        TTA stays on the vmapped fast path: pass 0 is clean; passes > 0
+        apply ``tta_fn(wave, lengths, key) -> (wave, lengths)`` on device
+        before the stacked-fold program (crop-TTA happens in the loader
+        itself when it was built with train=True). Documented divergence
+        from the reference's sequential habit (predict_2d_cnn.py:81-118):
+        each TTA pass perturbs once and feeds ALL folds, instead of
+        per-fold independent perturbations — n_tta draws rather than
+        n_folds*n_tta, same estimator family, ~n_folds x fewer passes.
+        """
+        accum = None
+        for t in range(max(n_tta, 1)):
+            probs_chunks, idx_chunks = [], []
+            for bi, batch in enumerate(loader):
+                wave = jnp.asarray(batch["signal"])
+                lengths = jnp.asarray(batch["lengths"])
+                if tta_fn is not None and t > 0:
+                    if self._tta_jit is None:
+                        self._tta_jit = jax.jit(tta_fn)
+                    key = jax.random.fold_in(
+                        tta_key, 100003 * t + bi)
+                    wave, lengths = self._tta_jit(wave, lengths, key)
+                probs = self._predict(self.stacked_variables, wave,
+                                      lengths)
+                probs_chunks.append(np.asarray(probs))
+                idx_chunks.append(batch["index"])
+            probs = np.concatenate(probs_chunks)
+            order = np.concatenate(idx_chunks)
+            out = np.zeros_like(probs)
+            out[order] = probs
+            accum = out if accum is None else accum + out
+        return accum / max(n_tta, 1)

@@ -240,3 +240,47 @@ class TestPredictCLI:
         assert len(out) == 6
         vals = out[CLASSES].values
         assert ((vals >= 0) & (vals <= 1)).all()
+
+    def test_predict_tta_stays_on_vmapped_path(self, trained_experiment,
+                                               synth_root, classmap_path):
+        """--n_tta > 1 with a stochastic knob runs the stacked-fold
+        program (round-4: TTA no longer falls back to sequential folds)
+        and averages to a valid probability CSV that differs from the
+        clean pass."""
+        from freesound_classification_tpu.cli import predict_2d_cnn
+        from freesound_classification_tpu.training import ensemble
+
+        calls = {"n": 0}
+        orig = ensemble.EnsemblePredictor.predict_loader
+
+        def spy(self, loader, **kw):
+            calls["n"] += 1
+            calls["kw"] = dict(kw)
+            return orig(self, loader, **kw)
+
+        out_csv = str(synth_root["root"] / "preds_tta.csv")
+        clean_csv = str(synth_root["root"] / "preds_out.csv")
+        try:
+            ensemble.EnsemblePredictor.predict_loader = spy
+            predict_2d_cnn.main([
+                "--experiment", trained_experiment,
+                "--test_df", synth_root["sample_submission"],
+                "--test_data_dir", synth_root["test_dir"],
+                "--classmap", classmap_path,
+                "--output_df", out_csv,
+                "--batch_size", "8",
+                "--num_workers", "0",
+                "--n_tta", "2",
+                "--tta_noise_snr_db", "20",
+            ])
+        finally:
+            ensemble.EnsemblePredictor.predict_loader = orig
+        assert calls["n"] == 1 and calls["kw"]["n_tta"] == 2
+        assert calls["kw"]["tta_fn"] is not None
+        out = pd.read_csv(out_csv)
+        assert list(out.columns) == ["fname"] + CLASSES
+        vals = out[CLASSES].values
+        assert ((vals >= 0) & (vals <= 1)).all()
+        if os.path.exists(clean_csv):
+            clean = pd.read_csv(clean_csv)[CLASSES].values
+            assert np.abs(vals - clean).max() > 0

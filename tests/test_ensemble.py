@@ -58,3 +58,67 @@ class TestEnsemblePredictor:
                                    atol=1e-6)
         np.testing.assert_allclose(ordered[batches[1]["index"]], direct[8:],
                                    atol=1e-6)
+
+    def test_tta_passes_average_on_vmapped_path(self, tmp_path):
+        """n_tta > 1 stays on the stacked-fold program: pass 0 clean,
+        passes > 0 perturbed on device; result = mean over passes."""
+        import jax
+
+        batches = _synthetic_batches(2, 8, seed=2)
+        batches[0]["index"] = np.arange(0, 8)
+        batches[1]["index"] = np.arange(8, 16)
+        train = ListLoader(batches)
+
+        eng = _make_engine(tmp_path)
+        eng.fit_validate(train, train, epochs=1, fold=0)
+        eng.save_checkpoint(0, "best_model")
+        predictor = EnsemblePredictor.from_checkpoints(
+            eng.model, eng.frontend,
+            [str(tmp_path / "fold_0" / "best_model")], eng.state)
+
+        calls = []
+
+        def tta_fn(wave, lengths, key):
+            calls.append(1)
+            noise = 0.05 * jax.random.normal(key, wave.shape, wave.dtype)
+            return wave + noise, lengths
+
+        key = jax.random.PRNGKey(7)
+        got = predictor.predict_loader(train, tta_fn=tta_fn, tta_key=key,
+                                       n_tta=3)
+        # manual reference: clean pass + two perturbed sweeps, same keys
+        tta_jit = jax.jit(tta_fn)
+        passes = []
+        for t in range(3):
+            chunks = []
+            for bi, b in enumerate(batches):
+                w = np.asarray(b["signal"], np.float32)
+                ln = np.asarray(b["lengths"])
+                if t > 0:
+                    w, ln = tta_jit(w, ln,
+                                    jax.random.fold_in(key, 100003 * t + bi))
+                chunks.append(np.asarray(
+                    predictor.predict_batch(w, ln)))
+            passes.append(np.concatenate(chunks))
+        want = np.mean(passes, axis=0)
+        np.testing.assert_allclose(got, want, atol=2e-6)
+        # tta_fn traced once (jitted), never applied on pass 0
+        assert len(calls) >= 1
+
+    def test_single_pass_unchanged_by_tta_args(self, tmp_path):
+        batches = _synthetic_batches(1, 8, seed=3)
+        batches[0]["index"] = np.arange(8)
+        train = ListLoader(batches)
+        eng = _make_engine(tmp_path)
+        eng.fit_validate(train, train, epochs=1, fold=0)
+        eng.save_checkpoint(0, "best_model")
+        predictor = EnsemblePredictor.from_checkpoints(
+            eng.model, eng.frontend,
+            [str(tmp_path / "fold_0" / "best_model")], eng.state)
+        import jax
+
+        a = predictor.predict_loader(train)
+        b = predictor.predict_loader(
+            train, tta_fn=lambda w, l, k: (w * 0.0, l),
+            tta_key=jax.random.PRNGKey(0), n_tta=1)
+        np.testing.assert_allclose(a, b, atol=0)
