@@ -193,7 +193,8 @@ def default_ladder(max_audio_length: Optional[float], sr: int = SR):
 
 
 def build_engine(args, experiment, model_kind: str, n_classes: int,
-                 writers: bool = True) -> Engine:
+                 writers: bool = True,
+                 warm_start_path: Optional[str] = None) -> Engine:
     dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
     model = build_classifier(
         model_kind, experiment.config.network, n_classes, dtype=dtype,
@@ -251,6 +252,10 @@ def build_engine(args, experiment, model_kind: str, n_classes: int,
         mesh=mesh,
         summary_writer_factory=writer_factory,
         profile_dir=profile_dir,
+        # finetune CLIs set args.warm_start_path (or pass explicitly);
+        # each fold's fit then seeds params from that checkpoint
+        warm_start_path=(warm_start_path
+                         or getattr(args, "warm_start_path", None)),
     )
 
 

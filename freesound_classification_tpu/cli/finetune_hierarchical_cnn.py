@@ -41,22 +41,13 @@ def main(argv=None):
     args.growth_rate = float(pcfg.network.growth_rate)
     args.features = str(pcfg.data.features)
 
-    warm_ckpt = os.path.join(
+    # threaded through build_engine's warm_start_path parameter — every
+    # fold's engine seeds params/batch_stats from the pretrained fold's
+    # best checkpoint (reference :170-180 load_state_dict warm start)
+    args.warm_start_path = os.path.join(
         args.pretrained_model, "checkpoints",
         f"fold_{args.pretrained_fold}", "best_model")
-
-    orig_build = common.build_engine
-
-    def build_with_warm_start(*a, **kw):
-        engine = orig_build(*a, **kw)
-        engine.warm_start_path = warm_ckpt
-        return engine
-
-    common.build_engine = build_with_warm_start
-    try:
-        common.run_training(args, "hierarchical_cnn")
-    finally:
-        common.build_engine = orig_build
+    common.run_training(args, "hierarchical_cnn")
 
 
 if __name__ == "__main__":

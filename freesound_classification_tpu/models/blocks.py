@@ -67,7 +67,11 @@ def _phase_pad(n: int, phase: int) -> tuple:
     stride-1 SAME conv centres tap 1 on the output position, so
     lo = 1 - p; hi is the smallest of {0, 1} reaching out elements
     (exact for every n >= 2, see tests/test_phase_pool.py).
+
+    CONTRACT: kernel size 3, pool window/stride 2, phase in {0, 1} only —
+    the lo = 1 - phase centring is k=3-specific and hi assumes stride 2.
     """
+    assert phase in (0, 1), f"_phase_pad: phase must be 0 or 1, got {phase}"
     out = n // 2
     lo = 1 - phase
     hi = 0 if (n + lo - 3) // 2 + 1 >= out else 1
@@ -99,6 +103,11 @@ def phase_conv_pool_2d(h: jnp.ndarray, kernel: jnp.ndarray,
     axes (window 1) run a single stride-1 SAME phase.
     """
     wh, ww = window
+    assert wh in (1, 2) and ww in (1, 2), (
+        f"phase_conv_pool_2d: pool window must be 1 or 2 per axis, got "
+        f"{window} (_phase_pad is stride-2-specific)")
+    assert kernel.shape[:2] == (3, 3), (
+        f"phase_conv_pool_2d: k=3 kernels only, got {kernel.shape}")
     h = h.astype(dtype)
     kernel = kernel.astype(dtype)
     bias = bias.astype(dtype)
@@ -128,6 +137,10 @@ def phase_conv_pool_1d(h: jnp.ndarray, kernel: jnp.ndarray,
     """1d analogue of ``phase_conv_pool_2d``: conv3(SAME) -> max_pool(2)
     as two stride-2 phase convs + one elementwise max (bit-exact,
     tests/test_phase_pool.py). h: (B, T, C); window 1 = clamped axis."""
+    assert window in (1, 2), (
+        f"phase_conv_pool_1d: pool window must be 1 or 2, got {window}")
+    assert kernel.shape[0] == 3, (
+        f"phase_conv_pool_1d: k=3 kernels only, got {kernel.shape}")
     h = h.astype(dtype)
     kernel = kernel.astype(dtype)
     bias = bias.astype(dtype)

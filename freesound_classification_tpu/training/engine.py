@@ -79,6 +79,7 @@ class Engine:
         summary_writer_factory=None,
         seed: int = 42,
         profile_dir: Optional[str] = None,
+        warm_start_path: Optional[str] = None,
     ):
         self.model = model
         self.frontend = frontend
@@ -100,6 +101,9 @@ class Engine:
         self.train_writer = None
         self.valid_writer = None
         self.profile_dir = profile_dir
+        # per-fold warm start (finetune CLIs): params/batch_stats seeded
+        # from this checkpoint at the top of each fit_validate
+        self.warm_start_path = warm_start_path
 
     # ------------------------------------------------------------------
     # step construction
@@ -400,7 +404,22 @@ class Engine:
         the loader itself is stochastic (train=True with a max_audio_length
         crop re-draws offsets per pass; see cli predict/evaluate
         --tta_max_audio_length). A deterministic loader makes every pass
-        identical."""
+        identical — the engine raises on that instead of silently paying
+        n× for nothing (the reference's classifiers.py:770-797 behavior);
+        CLI users get the same protection from
+        cli.common.reject_degenerate_tta."""
+        if n_tta > 1:
+            train = getattr(loader, "train", None)
+            crop = getattr(getattr(loader, "dataset", None),
+                           "max_audio_length", None)
+            if train is not None and not (train and crop):
+                raise ValueError(
+                    f"predict(n_tta={n_tta}) on a deterministic loader "
+                    "would average identical passes. Build the loader with "
+                    "train=True and a dataset max_audio_length (stochastic "
+                    "crop TTA), or use n_tta=1. Perturbation-based TTA "
+                    "lives in EnsemblePredictor.predict_loader(tta_fn=...)"
+                )
         all_tta = []
         for _ in range(n_tta):
             probs = []
@@ -439,7 +458,7 @@ class Engine:
         if self.state is None:
             first = next(iter(train_loader))
             self.init_state(first)
-            if getattr(self, "warm_start_path", None):
+            if self.warm_start_path:
                 print(f"warm start from {self.warm_start_path}")
                 self.warm_start(self.warm_start_path)
 

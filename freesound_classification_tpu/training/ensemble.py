@@ -92,6 +92,10 @@ class EnsemblePredictor:
         per-fold independent perturbations — n_tta draws rather than
         n_folds*n_tta, same estimator family, ~n_folds x fewer passes.
         """
+        if tta_fn is not None and n_tta > 1 and tta_key is None:
+            raise ValueError(
+                "predict_loader: tta_fn with n_tta > 1 requires tta_key "
+                "(a jax.random.PRNGKey) — perturbation passes fold it in")
         accum = None
         for t in range(max(n_tta, 1)):
             probs_chunks, idx_chunks = [], []
@@ -99,11 +103,13 @@ class EnsemblePredictor:
                 wave = jnp.asarray(batch["signal"])
                 lengths = jnp.asarray(batch["lengths"])
                 if tta_fn is not None and t > 0:
-                    if self._tta_jit is None:
-                        self._tta_jit = jax.jit(tta_fn)
+                    # cache keyed on fn identity: a second call with a
+                    # different tta_fn must not reuse the first one's jit
+                    if self._tta_jit is None or self._tta_jit[0] is not tta_fn:
+                        self._tta_jit = (tta_fn, jax.jit(tta_fn))
                     key = jax.random.fold_in(
                         tta_key, 100003 * t + bi)
-                    wave, lengths = self._tta_jit(wave, lengths, key)
+                    wave, lengths = self._tta_jit[1](wave, lengths, key)
                 probs = self._predict(self.stacked_variables, wave,
                                       lengths)
                 probs_chunks.append(np.asarray(probs))

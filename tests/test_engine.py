@@ -118,6 +118,35 @@ class TestEngine:
         assert preds.shape == (16, N_CLASSES)
         assert (preds >= 0).all() and (preds <= 1).all()
 
+    def test_predict_rejects_degenerate_tta(self):
+        """Engine.predict raises when n_tta > 1 with a provably
+        deterministic loader (train=False, or no stochastic crop) —
+        library callers get the same guard as the CLIs
+        (cli.common.reject_degenerate_tta)."""
+        engine = _make_engine()
+
+        class FakeLoader(list):
+            def __init__(self, train, max_audio_length):
+                super().__init__()
+                self.train = train
+                self.dataset = types.SimpleNamespace(
+                    max_audio_length=max_audio_length)
+
+        with pytest.raises(ValueError, match="deterministic loader"):
+            engine.predict(FakeLoader(train=False, max_audio_length=2.0),
+                           n_tta=2)
+        with pytest.raises(ValueError, match="deterministic loader"):
+            engine.predict(FakeLoader(train=True, max_audio_length=None),
+                           n_tta=2)
+        # stochastic-crop loader passes the guard: the empty fake loader
+        # then fails later, at np.concatenate — proving the guard let it by
+        with pytest.raises(ValueError, match="at least one array"):
+            engine.predict(FakeLoader(train=True, max_audio_length=2.0),
+                           n_tta=2)
+        # unknown loader types (no .train attribute) are not rejected
+        with pytest.raises(ValueError, match="at least one array"):
+            engine.predict(ListLoader(), n_tta=2)
+
     def test_static_scale_zero_skips_augmenter_exactly(self):
         """aug_scale is jit-static: the scale-0 program omits the augmenter
         entirely, and must produce bit-identical state/loss to an engine
