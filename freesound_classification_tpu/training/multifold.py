@@ -71,20 +71,37 @@ def make_fold_mesh(n_folds: int, devices=None) -> Mesh:
 
 
 def make_fold_dp_mesh(n_folds: int, devices=None,
-                      dp: int | None = None) -> Mesh:
-    """2-D (fold, data) mesh: the stacked fold axis shards over "fold" and
-    each fold's batch is data-parallel over "data" — K folds x D-way DP on
-    one mesh, the scale-out shape when devices outnumber folds (e.g. 5
-    folds on a v5e-16 slice = 5 x 3 with one spare, or 4 folds on 8
-    devices = 4 x 2). Cross-fold traffic stays zero; within a fold XLA
-    inserts the grad/BN-stat collectives exactly as in the 1-D DP engine
-    (parallel/mesh.py). ``dp`` pins the data-axis width; default uses
-    every device the fold axis leaves available."""
+                      dp: int | None = None,
+                      layout: str = "auto") -> Mesh:
+    """Mesh for K-fold x data-parallel training. Two layouts:
+
+    - **fold-sharded** 2-D (fold, data): the stacked fold axis shards over
+      "fold" and each fold's batch is data-parallel over "data" — K folds x
+      D-way DP, zero cross-fold traffic; within a fold XLA inserts the
+      grad/BN collectives exactly as in the 1-D DP engine (parallel/
+      mesh.py). Used when fold x dp tiles the device count exactly
+      (4 folds on 8 devices = 4 x 2).
+    - **fold-local** 1-D ("data",): when no divisor tiling covers every
+      device (the production 5-fold job on 8 devices would idle 3 of them
+      as a 5 x 1 mesh), the fold axis stays a LOCAL vmap dimension — every
+      device holds all K fold states (replicated) and the batch ROWS shard
+      over all devices. Per-device work is K*B/n, the theoretical optimum
+      (equal to fold-sharded when divisible, 1.6x better for 5-on-8);
+      the cost is K x param memory per device and K x grad-psum bytes,
+      negligible at this model scale. Per-fold numerics match the
+      unvmapped truth (tests/test_multifold.py TestFoldLocalMesh).
+
+    ``layout`` forces "fold_dp" / "fold_local"; "auto" picks fold-sharded
+    when it uses every device, else fold-local. ``dp`` pins the data-axis
+    width of the fold-sharded layout."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     f = _fold_axis_size(n_folds, n)
     d = dp if dp is not None else max(1, n // f)
+    if layout == "fold_local" or (
+            layout == "auto" and dp is None and f * d < n):
+        return Mesh(np.asarray(devices), ("data",))
     if f * d > n:
         raise ValueError(
             f"fold x dp mesh needs {f}x{d} devices, have {n}")
@@ -157,11 +174,22 @@ class MultiFoldEngine:
             range(n_folds))
         self.mesh = mesh if mesh is not None else make_fold_mesh(n_folds)
         mesh_axes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
-        # data-parallel width within each fold (fold x dp meshes); 1 on the
+        # fold-sharded (classic) vs fold-local layout — see
+        # make_fold_dp_mesh. Fold-local: no "fold" mesh axis; states are
+        # replicated, the fold axis is a local vmap dim, batch rows shard
+        # over "data".
+        self.fold_sharded = "fold" in mesh_axes
+        # data-parallel width of the batch ROW axis: per-fold dp width on
+        # fold x dp meshes, the whole mesh in fold-local mode, 1 on the
         # classic 1-D fold mesh
         self.dp = mesh_axes.get("data", 1)
-        self._batch_spec = (
-            P("fold", "data") if "data" in mesh_axes else P("fold"))
+        if self.fold_sharded:
+            self._batch_spec = (
+                P("fold", "data") if "data" in mesh_axes else P("fold"))
+            self._state_spec = P("fold")
+        else:
+            self._batch_spec = P(None, "data")
+            self._state_spec = P()
         self.states = None  # stacked TrainState, leading fold axis
         self.global_step = 0
         # per-shape pool of the previous clean stacked batch (MixUp)
@@ -205,7 +233,7 @@ class MultiFoldEngine:
         self._build_vmapped_step()
 
     def _shard_states(self) -> None:
-        sharding = NamedSharding(self.mesh, P("fold"))
+        sharding = NamedSharding(self.mesh, self._state_spec)
         self.states = jax.device_put(self.states, jax.tree.map(
             lambda _: sharding, self.states,
             is_leaf=lambda x: hasattr(x, "shape")))
@@ -253,7 +281,7 @@ class MultiFoldEngine:
             vstep = jax.vmap(
                 lambda s, b, nr, pt: one_fold_step(s, b, aug_scale, nr, pt),
                 in_axes=(0, 0, 0, 0))
-            if self.mesh.devices.size > 1:
+            if self.fold_sharded and self.mesh.devices.size > 1:
                 # Manual over "fold", GSPMD-auto over "data" (if present).
                 # Two reasons, both measured on the 8-device CPU mesh:
                 # 1. The fold axis never enters GSPMD sharding propagation,

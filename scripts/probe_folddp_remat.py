@@ -39,7 +39,9 @@ from freesound_classification_tpu.training.multifold import (  # noqa: E402
 
 
 def main() -> int:
-    n_folds = 2
+    # argv[1]: fold count — 2 exercises the fold-sharded 2x4 mesh, 5 the
+    # production-fold-count fold-LOCAL layout (5 folds on 8 devices)
+    n_folds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     model = TwoDimensionalCNN(
         num_conv_blocks=2, start_deep_supervision_on=0, conv_base_depth=8,
         growth_rate=1.5, aggregation_type="max", n_classes=16,
@@ -67,6 +69,8 @@ def main() -> int:
     }
     mf.init_states(batch)
     stats = mf.train_epoch([[batch] for _ in range(n_folds)])
+    shape = dict(zip(mesh2.axis_names, mesh2.devices.shape))
+    print(f"mesh: {shape} fold_sharded={mf.fold_sharded}")
     print("losses:", stats["loss"])
     return 0
 

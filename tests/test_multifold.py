@@ -157,13 +157,22 @@ class TestFoldDpMesh:
         shapes = {
             2: {"fold": 2, "data": 4},
             4: {"fold": 4, "data": 2},
-            5: {"fold": 5, "data": 1},
+            # non-divisor fold counts pick the fold-LOCAL layout: all 8
+            # devices on the data axis instead of idling 3 on a 5x1 mesh
+            3: {"data": 8},
+            5: {"data": 8},
             8: {"fold": 8, "data": 1},
         }
         for n_folds, want in shapes.items():
             mesh = make_fold_dp_mesh(n_folds)
             got = dict(zip(mesh.axis_names, mesh.devices.shape))
             assert got == want, f"n_folds={n_folds}: {got} != {want}"
+        # explicit layout override keeps the old fold-sharded 5x1 shape
+        mesh = make_fold_dp_mesh(5, layout="fold_dp")
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+            "fold": 5, "data": 1}
+        mesh = make_fold_dp_mesh(4, layout="fold_local")
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"data": 8}
 
     def test_explicit_dp_width(self):
         mesh = make_fold_dp_mesh(2, dp=2)
@@ -310,8 +319,110 @@ class TestFoldParallelMatchesPerFoldTruth:
             rtol=1e-4, atol=1e-5)
 
 
+class TestFoldLocalMesh:
+    """Fold-LOCAL layout (5 folds on 8 devices): states replicated, the
+    fold axis a local vmap dim, batch rows sharded over every device."""
+
+    def test_fold_local_forward_equals_unvmapped_per_fold(self):
+        """Per-fold truth must survive the fold-local layout (the round-3
+        GSPMD fold-axis corruption class — here the fold axis never enters
+        GSPMD at all, but the data-sharded rows of the vmapped step still
+        must reduce to the same per-fold losses)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_folds = 5
+        fold_train = [
+            ListLoader(_synthetic_batches(1, 8, seed=k))
+            for k in range(n_folds)
+        ]
+        template = _make_engine()
+        mesh = make_fold_dp_mesh(n_folds)
+        mf = MultiFoldEngine(template, n_folds, mesh=mesh)
+        assert not mf.fold_sharded and mf.dp == 8
+        mf.make_optimizer(max_steps=2, steps_per_epoch=1)
+        mf.init_states(fold_train[0][0])
+        frontend = template.frontend
+
+        stacked, n_real = _stack_batches([l[0] for l in fold_train],
+                                         row_multiple=mf.dp)
+        sharding = NamedSharding(mf.mesh, mf._batch_spec)
+        db = {k: jax.device_put(v, sharding) for k, v in stacked.items()}
+
+        states_host = jax.device_get(mf.states)
+        truth_losses = []
+        for k in range(n_folds):
+            st = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[k]),
+                              states_host)
+            bt = {kk: jnp.asarray(np.asarray(v)[k])
+                  for kk, v in db.items()}
+            _, _, dropout_rng = jax.random.split(st.rng, 3)
+            inputs, fl = frontend(bt["signal"], bt["lengths"])
+            row_mask = (jnp.arange(bt["signal"].shape[0], dtype=jnp.int32)
+                        < int(n_real[k]))
+            loss, _ = template._forward_loss(
+                st.params, st.batch_stats, inputs, fl, bt["labels"],
+                dropout_rng, train=True, row_mask=row_mask)
+            truth_losses.append(float(loss))
+
+        clean = (db["signal"], db["lengths"], db.get("labels"))
+        _, loss, _ = mf._vmapped_step(
+            mf.states, db, 0.0, jnp.asarray(n_real), clean)
+        np.testing.assert_allclose(
+            np.asarray(loss), np.asarray(truth_losses),
+            rtol=1e-4, atol=1e-5)
+
+    def test_fold_local_matches_fold_mesh_with_augmentation_on(self):
+        """Same program math as the 1-D fold-sharded mesh, full augmenter
+        ON — only the batch-row placement differs, so losses and params
+        must agree to reduction-order noise (tolerances mirror
+        TestFoldDpMesh.test_fold_dp_matches_fold_only...)."""
+        import jax
+
+        from freesound_classification_tpu.ops import augment as augment_lib
+
+        n_folds = 5
+        results = {}
+        for mesh_kind in ("fold", "fold_local"):
+            fold_train = [
+                ListLoader(_synthetic_batches(2, 8, seed=k))
+                for k in range(n_folds)
+            ]
+            template = _make_engine()
+            template.augment = augment_lib.make_augmenter(
+                augment_lib.AugmentConfig(
+                    p_mixup=0.5, p_aug=0.5, p_shuffle=0.5, sr=8000))
+            mesh = (make_fold_mesh(n_folds) if mesh_kind == "fold"
+                    else make_fold_dp_mesh(n_folds))
+            mf = MultiFoldEngine(template, n_folds, mesh=mesh)
+            if mesh_kind == "fold_local":
+                assert not mf.fold_sharded and mf.dp == 8
+            else:
+                assert mf.fold_sharded
+            mf.make_optimizer(max_steps=4, steps_per_epoch=2)
+            mf.init_states(fold_train[0][0])
+            stats = mf.train_epoch(fold_train)
+            results[mesh_kind] = (
+                stats["loss"],
+                jax.tree_util.tree_flatten_with_path(
+                    jax.device_get(mf.states.params))[0],
+            )
+        np.testing.assert_allclose(
+            results["fold"][0], results["fold_local"][0], rtol=2e-4)
+        for (path, a), (_, b) in zip(results["fold"][1],
+                                     results["fold_local"][1]):
+            if jax.tree_util.keystr(path).endswith("['bias']"):
+                continue
+            scale = np.maximum(np.abs(a).max(), 1e-8)
+            np.testing.assert_allclose(
+                a / scale, b / scale, atol=3e-3,
+                err_msg=jax.tree_util.keystr(path))
+
+
 class TestFoldDpNoRemat:
-    def test_no_involuntary_rematerialization(self):
+    @pytest.mark.parametrize("n_folds", [2, 5])
+    def test_no_involuntary_rematerialization(self, n_folds):
         """The fold x dp step must compile WITHOUT GSPMD "Involuntary full
         rematerialization" fallbacks (MULTICHIP_r03 tail: the vmapped conv
         grads' fold-merging reshapes provoked replicate-then-partition
@@ -329,7 +440,8 @@ class TestFoldDpNoRemat:
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
         env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
         proc = subprocess.run(
-            [sys.executable, "/root/repo/scripts/probe_folddp_remat.py"],
+            [sys.executable, "/root/repo/scripts/probe_folddp_remat.py",
+             str(n_folds)],
             capture_output=True, text=True, timeout=900, env=env)
         assert proc.returncode == 0, proc.stderr[-2000:]
         assert "losses:" in proc.stdout
