@@ -513,41 +513,36 @@ class Engine:
                         ckpt_lib.prune_epoch_checkpoints(d, k))
                 if score > best_score:
                     self.save_checkpoint(fold, "best_model")
-                self.save_checkpoint(fold, "last_model")
-                # progress metadata is written on the FIFO writer thread
-                # AFTER the last_model save is durable, so a crash can never
-                # leave progress.json newer than the checkpoint it describes
+                # last_model is an atomic RESUME BUNDLE: state + progress
+                # metadata become visible in one rename, so no kill point
+                # can leave them unpaired (SIGKILL-tested,
+                # tests/test_resume.py)
                 meta = {
                     "epoch": epoch,
                     "best_score": float(max(best_score, score)),
                     "scores": [float(s) for s in scores],
                     "global_step": self.global_step,
                 }
-                ckpt_lib.write_after_saves(
-                    lambda f=fold, m=meta: self._save_progress(f, m))
+                ckpt_lib.save_resume_bundle(
+                    self._ckpt_path(fold, "last_model"), self.state, meta)
             if score > best_score:
                 best_score = score
         return scores
 
-    def _progress_path(self, fold: int) -> str:
-        return os.path.join(self.checkpoint_dir, f"fold_{fold}",
-                            "progress.json")
-
-    def _save_progress(self, fold: int, meta: dict) -> None:
-        import json
-
-        with open(self._progress_path(fold), "w") as f:
-            json.dump(meta, f)
-
     def _load_progress(self, fold: int):
-        import json
+        meta = ckpt_lib.load_resume_meta(self._ckpt_path(fold, "last_model"))
+        if meta is None:
+            # legacy layout (pre-bundle experiments): progress.json beside
+            # the plain last_model checkpoint
+            import json
 
-        ckpt_lib.wait_for_saves()  # same-process resume: drain the writer
-        try:
-            with open(self._progress_path(fold)) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return None
+            try:
+                with open(os.path.join(self.checkpoint_dir, f"fold_{fold}",
+                                       "progress.json")) as f:
+                    return json.load(f)
+            except FileNotFoundError:
+                return None
+        return meta
 
     # ------------------------------------------------------------------
     # checkpointing (orbax; reference classifiers.py:846-866, 882-892)

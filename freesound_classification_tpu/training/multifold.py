@@ -403,6 +403,9 @@ class MultiFoldEngine:
     def _progress_path(self, checkpoint_dir: str) -> str:
         return os.path.join(checkpoint_dir, "multifold_progress.json")
 
+    def _bundle_path(self, checkpoint_dir: str) -> str:
+        return os.path.join(checkpoint_dir, "multifold_resume")
+
     def fit(self, fold_train_loaders, fold_valid_loaders, epochs: int,
             checkpoint_dir: Optional[str] = None, resume: bool = False,
             log_interval: int = 25) -> list:
@@ -438,13 +441,24 @@ class MultiFoldEngine:
         best = [-np.inf] * self.n_folds
         start_epoch = 0
         if resume and checkpoint_dir is not None:
-            try:
-                with open(self._progress_path(checkpoint_dir)) as f:
-                    meta = json.load(f)
-            except FileNotFoundError:
-                meta = None
+            bundle = self._bundle_path(checkpoint_dir)
+            meta = ckpt_lib.load_resume_meta(bundle)
             if meta is not None:
-                self.load_fold_checkpoints(checkpoint_dir, "last_model")
+                # atomic resume bundle: the stacked states and their
+                # metadata were published in one rename (crash-paired)
+                self.states = ckpt_lib.restore_state(bundle, self.states)
+                self._shard_states()
+            else:
+                # legacy layout: per-fold last_model + progress json
+                ckpt_lib.wait_for_saves()
+                try:
+                    with open(self._progress_path(checkpoint_dir)) as f:
+                        meta = json.load(f)
+                except FileNotFoundError:
+                    meta = None
+                if meta is not None:
+                    self.load_fold_checkpoints(checkpoint_dir, "last_model")
+            if meta is not None:
                 start_epoch = meta["epoch"] + 1
                 best = list(meta["best"])
                 self.global_step = meta["global_step"]
@@ -483,11 +497,15 @@ class MultiFoldEngine:
                 if epoch % save_every == 0:
                     self.save_fold_checkpoints(
                         checkpoint_dir, f"model_on_epoch_{epoch}")
-                self.save_fold_checkpoints(checkpoint_dir, "last_model")
-                with open(self._progress_path(checkpoint_dir), "w") as f:
-                    json.dump({
-                        "epoch": epoch,
-                        "best": [float(b) for b in best],
-                        "global_step": self.global_step,
-                    }, f)
+                # atomic resume bundle: ALL folds' stacked states + the
+                # progress metadata become visible in one rename — no kill
+                # point can leave folds at mixed epochs or progress
+                # unpaired with its states (tests/test_resume.py)
+                meta = {
+                    "epoch": epoch,
+                    "best": [float(b) for b in best],
+                    "global_step": self.global_step,
+                }
+                ckpt_lib.save_resume_bundle(
+                    self._bundle_path(checkpoint_dir), self.states, meta)
         return best
