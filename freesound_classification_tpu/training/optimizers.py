@@ -11,9 +11,66 @@ reproduces exactly that (not decoupled AdamW).
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, NamedTuple
 
+import chex
+import jax
+import jax.numpy as jnp
 import optax
+
+
+class ScaleByAmsgradTorchState(NamedTuple):
+    count: chex.Array
+    mu: optax.Updates
+    nu: optax.Updates
+    nu_max: optax.Updates
+
+
+def scale_by_amsgrad_torch(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """torch.optim.Adam(amsgrad=True) semantics, exactly.
+
+    ``optax.scale_by_amsgrad`` maxes the bias-CORRECTED second moment —
+    max_t(nu_t / (1 - b2^t)) — so the first steps' huge correction factors
+    (1/(1-b2) = 1000 at t=1) inflate nu_max permanently and the effective
+    lr collapses ~sqrt(1000)x early on. torch maxes the RAW nu and applies
+    the CURRENT step's bias correction to the max:
+
+        m_t = b1 m + (1-b1) g;  v_t = b2 v + (1-b2) g^2
+        v_max = max(v_max, v_t)
+        update = (m_t / (1-b1^t)) / (sqrt(v_max / (1-b2^t)) + eps)
+
+    Found by the live-torch step-parity harness
+    (tests/test_reference_step_parity.py): 0.128 max param divergence after
+    50 toy steps with the optax transform, 4e-6 with this one.
+    """
+
+    def init_fn(params):
+        zeros = lambda: jax.tree.map(  # noqa: E731
+            lambda p: jnp.zeros_like(p), params)
+        return ScaleByAmsgradTorchState(
+            count=jnp.zeros([], jnp.int32),
+            mu=zeros(), nu=zeros(), nu_max=zeros())
+
+    def update_fn(updates, state, params=None):
+        del params
+        count_inc = state.count + 1
+        t = count_inc.astype(jnp.float32)
+        mu = jax.tree.map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates)
+        nu = jax.tree.map(
+            lambda v, g: b2 * v + (1.0 - b2) * (g * g), state.nu, updates)
+        nu_max = jax.tree.map(jnp.maximum, state.nu_max, nu)
+        bc1 = 1.0 - b1**t
+        bc2 = 1.0 - b2**t
+        new_updates = jax.tree.map(
+            lambda m, vm: (m / bc1) / (jnp.sqrt(vm / bc2) + eps),
+            mu, nu_max)
+        return new_updates, ScaleByAmsgradTorchState(
+            count=count_inc, mu=mu, nu=nu, nu_max=nu_max)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def adam_amsgrad(
@@ -22,7 +79,7 @@ def adam_amsgrad(
     steps = []
     if weight_decay:
         steps.append(optax.add_decayed_weights(weight_decay))
-    steps.append(optax.scale_by_amsgrad(b1=0.9, b2=0.999, eps=1e-8))
+    steps.append(scale_by_amsgrad_torch(b1=0.9, b2=0.999, eps=1e-8))
     steps.append(optax.scale_by_learning_rate(schedule))
     return optax.chain(*steps)
 

@@ -60,6 +60,7 @@ _SLOW_PREFIXES = (
     "test_vmap_kernels.py::test_full_augmenter_vmap_matches_loop",
     "test_phase_pool.py::TestModelPhasePool",
     "test_phase_pool.py::TestPhaseConvPool1d::test_block_and_model_parity",
+    "test_reference_step_parity.py::TestReferenceStepParity",  # live-torch
     "test_engine.py::TestEngine::test_overfits_synthetic",
     "test_engine.py::TestEngine::test_accumulation_steps",
 )
