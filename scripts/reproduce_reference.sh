@@ -162,6 +162,16 @@ $PY "$REPO/scripts/compare_to_baseline.py" \
   ${REFERENCE_LWLRAP:+--reference_lwlrap "$REFERENCE_LWLRAP"} \
   ${REFERENCE_OOF_DIR:+--reference_oof_dir "$REFERENCE_OOF_DIR"}
 
+echo "== step 4: linear blend of the curated + noisy-round experiments =="
+# the reference's winning submission is a linear blend over its model pool
+# (/root/reference/README.md:41, linear_blend.py); the kit blends the two
+# experiments it just trained so the full chain ends at a submission
+$PY -m freesound_classification_tpu.cli.linear_blend \
+  --experiments "$EXP" "$EXP2" \
+  --train_df "$DATA_DIR/train_curated.csv" \
+  --output_df predictions/blend_submission.csv
+echo "blend submission: $WORK/predictions/blend_submission.csv"
+
 echo "== done =="
 echo "Further pseudolabel rounds (top-2k..5k, then relabelall-replacenan)"
 echo "follow the same predict -> relabel -> train pattern; see"
