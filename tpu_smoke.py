@@ -203,6 +203,36 @@ def main() -> int:
     print(f"SMOKE: rnn-agg forward {ms:.1f} ms/call at B=4 (bound 400)  "
           f"[{time.time()-t0:.0f}s]")
 
+    # 7b. APC grad step tripwire (VERDICT r4 #4): the 3-layer LSTM scan
+    # over the frame axis is the one sequential-scan risk in the repo.
+    # Bench-scale verdict (scripts/probe_family_bench.py, r5): 17.5 ms
+    # full train step at B=64 x 431 frames — NOT a bottleneck. This keeps
+    # a loose fwd+bwd bound at B=4 so a scan-lowering regression trips.
+    from freesound_classification_tpu.models.apc import APCModel
+
+    fe1d = Frontend("mel_2048_1024_128", "1d", sr=44100, use_pallas=True)
+    f1, fl1 = fe1d(wave, lengths)
+    apc = APCModel(rnn_size=256, rnn_layers=3, prediction_steps=3)
+    v_apc = apc.init({"params": jax.random.PRNGKey(4)}, f1, fl1,
+                     train=False)
+
+    def apc_loss(params, x, l):
+        out = apc.apply({"params": params["params"]}, x, l, train=False)
+        return sum(out["loss_terms"])
+
+    apc_grad = jax.jit(jax.grad(lambda v, x, l: apc_loss(v, x, l)))
+    g = apc_grad(v_apc, f1, fl1)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(g)), "non-finite APC grads"
+    t1 = time.time()
+    for _ in range(n):
+        g = apc_grad(v_apc, f1, fl1)
+    float(jnp.sum(jax.tree.leaves(g)[0]))
+    ms = (time.time() - t1) / n * 1e3
+    assert ms < 300.0, f"APC fwd+bwd {ms:.1f} ms at B=4 — LSTM scan blowup?"
+    print(f"SMOKE: apc fwd+bwd {ms:.1f} ms/call at B=4 (bound 300)  "
+          f"[{time.time()-t0:.0f}s]")
+
     # 8. Fused inference resnet block vs the unfused flax block on chip
     # (Mosaic numerics gate, same rationale as the PV gate above)
     from freesound_classification_tpu.models.blocks import ResnetBlock2d
