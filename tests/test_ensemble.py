@@ -105,6 +105,41 @@ class TestEnsemblePredictor:
         # tta_fn traced once (jitted), never applied on pass 0
         assert len(calls) >= 1
 
+    def test_tta_requires_key_and_recaches_on_fn_change(self, tmp_path):
+        """ADVICE r4: tta_fn + n_tta > 1 without tta_key raises up front
+        (not an opaque fold_in failure mid-loop), and a second call with a
+        DIFFERENT tta_fn must not reuse the first fn's jit cache."""
+        import jax
+
+        batches = _synthetic_batches(1, 8, seed=4)
+        batches[0]["index"] = np.arange(8)
+        train = ListLoader(batches)
+        eng = _make_engine(tmp_path)
+        eng.fit_validate(train, train, epochs=1, fold=0)
+        eng.save_checkpoint(0, "best_model")
+        predictor = EnsemblePredictor.from_checkpoints(
+            eng.model, eng.frontend,
+            [str(tmp_path / "fold_0" / "best_model")], eng.state)
+
+        with pytest.raises(ValueError, match="tta_key"):
+            predictor.predict_loader(
+                train, tta_fn=lambda w, l, k: (w, l), n_tta=2)
+
+        key = jax.random.PRNGKey(0)
+        # fn A: silences the perturbed pass entirely -> pass-1 preds are
+        # the model's silence response; fn B: identity -> pass-1 == clean
+        silence = lambda w, l, k: (w * 0.0, l)  # noqa: E731
+        identity = lambda w, l, k: (w, l)  # noqa: E731
+        got_silence = predictor.predict_loader(
+            train, tta_fn=silence, tta_key=key, n_tta=2)
+        got_identity = predictor.predict_loader(
+            train, tta_fn=identity, tta_key=key, n_tta=2)
+        clean = predictor.predict_loader(train)
+        # identity-TTA must equal the clean prediction (both passes clean);
+        # with the stale cache bug it would replay fn A's silencing
+        np.testing.assert_allclose(got_identity, clean, atol=1e-6)
+        assert not np.allclose(got_silence, clean, atol=1e-4)
+
     def test_single_pass_unchanged_by_tta_args(self, tmp_path):
         batches = _synthetic_batches(1, 8, seed=3)
         batches[0]["index"] = np.arange(8)
