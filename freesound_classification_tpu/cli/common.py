@@ -449,11 +449,15 @@ def run_folds_parallel(args, experiment, model_kind, n_classes,
     print(f"\n\n   -----  Folds {folds} (parallel)\n")
     template = build_engine(args, experiment, model_kind, n_classes)
     # spare devices beyond the fold axis become within-fold data
-    # parallelism (2-D fold x data mesh; degenerates to the 1-D fold mesh
-    # when devices == folds)
+    # parallelism: a 2-D fold x data mesh when fold*dp tiles the devices,
+    # else the fold-LOCAL layout (folds a local vmap axis, batch rows over
+    # every device — e.g. the production 5-fold job on 8 devices)
     mesh = make_fold_dp_mesh(len(folds))
-    if mesh.devices.size > len(folds):
-        shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if "fold" not in shape:
+        print(f"fold-parallel mesh: fold-local ({len(folds)} folds vmapped"
+              f" locally, {shape['data']}-way data parallel)")
+    elif mesh.devices.size > len(folds):
         print(f"fold-parallel mesh: {shape['fold']} folds x "
               f"{shape['data']}-way data parallel")
 

@@ -208,9 +208,12 @@ class TestFoldDpMesh:
         Tolerance note: on the fold mesh each fold's batch lives on one
         device, on the fold x dp mesh it is split 4-ways, so batch-sum
         reduction ORDER differs — bf16/f32 rounding noise that adam's
-        grad/sqrt(v) normalization amplifies over steps. param atol 3e-3
-        absorbs that (observed max 2.2e-3 on 1 of 2304 elements over 3
-        steps) while still catching structural divergence."""
+        grad/sqrt(v) normalization amplifies over steps. param atol 5e-3
+        absorbs that (observed max 2.2e-3 under the pre-r5 optimizer;
+        3.2e-3 on 1 of 2304 elements once the torch-exact amsgrad takes
+        FULL-SIZE early steps instead of the collapsed-lr ones) while
+        still catching structural divergence (which shows as O(1) on many
+        elements)."""
         import jax
 
         from freesound_classification_tpu.ops import augment as augment_lib
@@ -252,7 +255,7 @@ class TestFoldDpMesh:
                 continue
             scale = np.maximum(np.abs(a).max(), 1e-8)
             np.testing.assert_allclose(
-                a / scale, b / scale, atol=3e-3,
+                a / scale, b / scale, atol=5e-3,
                 err_msg=jax.tree_util.keystr(path))
 
 
@@ -416,7 +419,7 @@ class TestFoldLocalMesh:
                 continue
             scale = np.maximum(np.abs(a).max(), 1e-8)
             np.testing.assert_allclose(
-                a / scale, b / scale, atol=3e-3,
+                a / scale, b / scale, atol=5e-3,
                 err_msg=jax.tree_util.keystr(path))
 
 
