@@ -155,6 +155,78 @@ def reference_onecycle_lr(min_lr, max_lr, max_steps, epoch):
     return max_lr + r * (min_lr / 1e3 - max_lr)
 
 
+class TorchResnetBlock1d(torch.nn.Module):
+    """reference networks/classifiers.py:37-69 (1d residual block)."""
+
+    def __init__(self, depth):
+        super().__init__()
+        nn = torch.nn
+        self.conv1 = nn.Conv1d(depth, depth, 1)
+        self.bn1 = nn.BatchNorm1d(depth)
+        self.conv2 = nn.Conv1d(depth, depth, 3, padding=1)
+        self.bn2 = nn.BatchNorm1d(depth)
+        self.conv3 = nn.Conv1d(depth, depth, 1)
+        self.bn3 = nn.BatchNorm1d(depth)
+        self.prelu1 = nn.PReLU(depth)
+        self.prelu2 = nn.PReLU(depth)
+        self.prelu3 = nn.PReLU(depth)
+
+    def forward(self, x):
+        h = self.prelu1(self.bn1(self.conv1(x)))
+        h = self.prelu2(self.bn2(self.conv2(h)))
+        h = self.bn3(self.conv3(h))
+        return self.prelu3(h + x)
+
+
+class TorchRefHierCNN(torch.nn.Module):
+    """reference HierarchicalCNN (networks/classifiers.py:107-217): the 1d
+    tower treats STFT bins as channels and time as the conv axis —
+    torch.stft -> log(|S|+1e-4) -> per-bin BN -> conv3/maxpool2/BN/PReLU/
+    resnet blocks -> global max from start_deep_supervision_on -> MLP head."""
+
+    def __init__(self, num_blocks, sds, base, growth, n_classes, input_dim):
+        super().__init__()
+        nn = torch.nn
+        self.sds = sds
+        self.conv_modules = nn.ModuleList()
+        total = 0
+        depth = input_dim
+        for k in range(num_blocks):
+            cin = input_dim if k == 0 else depth
+            depth = int(growth**k * base)
+            self.conv_modules.append(nn.Sequential(
+                nn.BatchNorm1d(cin),
+                nn.Conv1d(cin, depth, 3, padding=1),
+                nn.MaxPool1d(2, 2),
+                nn.BatchNorm1d(depth),
+                nn.PReLU(depth),
+                TorchResnetBlock1d(depth),
+            ))
+            if k >= sds:
+                total += depth
+        self.global_maxpool = nn.AdaptiveMaxPool1d(1)
+        self.output_transform = nn.Sequential(
+            nn.BatchNorm1d(total),
+            nn.Linear(total, total),
+            nn.BatchNorm1d(total),
+            nn.PReLU(total),
+            nn.Dropout(0.0),
+            nn.Linear(total, n_classes),
+        )
+
+    def forward(self, signal):
+        window = torch.hann_window(N_FFT, device=signal.device)
+        s = torch.stft(signal, N_FFT, HOP, window=window,
+                       return_complex=True).abs()
+        h = torch.log(s + 1e-4)  # (B, F, T): bins are the conv channels
+        feats = []
+        for k, module in enumerate(self.conv_modules):
+            h = module(h)
+            if k >= self.sds:
+                feats.append(self.global_maxpool(h).squeeze(-1))
+        return self.output_transform(torch.cat(feats, -1))
+
+
 # ---------------------------------------------------------------------------
 # weight transplant: JAX init -> torch state_dict
 # ---------------------------------------------------------------------------
@@ -181,6 +253,35 @@ def _map_conv(sd, tkey, jp):
 def _map_linear(sd, tkey, jp):
     sd[f"{tkey}.weight"] = _t(np.asarray(jp["kernel"]).T)
     sd[f"{tkey}.bias"] = _t(jp["bias"])
+
+
+def _map_conv1d(sd, tkey, jp):
+    # flax (k, in, out) -> torch (out, in, k)
+    sd[f"{tkey}.weight"] = _t(np.transpose(jp["kernel"], (2, 1, 0)))
+    sd[f"{tkey}.bias"] = _t(jp["bias"])
+
+
+def transplant_hier(params, stats, num_blocks):
+    sd = {}
+    for k in range(num_blocks):
+        p, s = params[f"block{k}"], stats[f"block{k}"]
+        pre = f"conv_modules.{k}"
+        _map_bn(sd, f"{pre}.0", p["bn_in"], s["bn_in"])
+        _map_conv1d(sd, f"{pre}.1", p["conv"])
+        _map_bn(sd, f"{pre}.3", p["bn_out"], s["bn_out"])
+        sd[f"{pre}.4.weight"] = _t(p["prelu"]["alpha"])
+        r, rs = p["resnet"], s["resnet"]
+        for i in (1, 2, 3):
+            _map_conv1d(sd, f"{pre}.5.conv{i}", r[f"conv{i}"])
+            _map_bn(sd, f"{pre}.5.bn{i}", r[f"bn{i}"], rs[f"bn{i}"])
+            sd[f"{pre}.5.prelu{i}.weight"] = _t(r[f"prelu{i}"]["alpha"])
+    h, hs = params["head"], stats["head"]
+    _map_bn(sd, "output_transform.0", h["bn1"], hs["bn1"])
+    _map_linear(sd, "output_transform.1", h["fc1"])
+    _map_bn(sd, "output_transform.2", h["bn2"], hs["bn2"])
+    sd["output_transform.3.weight"] = _t(h["prelu"]["alpha"])
+    _map_linear(sd, "output_transform.5", h["fc2"])
+    return sd
 
 
 def _map_gru_direction(sd, prefix, suffix, cell):
@@ -256,21 +357,23 @@ def _batches(n, seed):
     return out
 
 
-def _build_engine(agg, lr_desc, weight_decay, max_steps):
+def _build_engine(agg, lr_desc, weight_decay, max_steps, family="2d"):
     import jax.numpy as jnp
 
     from freesound_classification_tpu.models.classifiers import (
+        HierarchicalCNN,
         TwoDimensionalCNN,
     )
     from freesound_classification_tpu.models.frontend import Frontend
     from freesound_classification_tpu.parallel import mesh as mesh_lib
     from freesound_classification_tpu.training.engine import Engine
 
-    model = TwoDimensionalCNN(
+    cls = TwoDimensionalCNN if family == "2d" else HierarchicalCNN
+    model = cls(
         num_conv_blocks=3, start_deep_supervision_on=1, conv_base_depth=8,
         growth_rate=2.0, aggregation_type=agg, n_classes=N_CLASSES,
         dtype=jnp.float32)
-    frontend = Frontend(FEATURES, "2d", sr=SR, dft_precision="high")
+    frontend = Frontend(FEATURES, family, sr=SR, dft_precision="high")
     cfg = types.SimpleNamespace(
         optimizer="adam", learning_rate=1e-3, scheduler=lr_desc,
         weight_decay=weight_decay, accumulation_steps=1, epochs=1,
@@ -403,6 +506,60 @@ def _assert_trajectory(lj, lt):
                                err_msg="full trajectory (chaotic bound)")
 
 
+def _run_parity_hier(n_steps=10, min_lr=1e-3, max_lr=3e-3):
+    """HierarchicalCNN (1d tower) parity: same harness as _run_parity but
+    for the second production family (reference classifiers.py:107-217)."""
+    import jax
+    import jax.numpy as jnp
+
+    lr_desc = f"1cycle_{min_lr}_{max_lr}"
+    engine = _build_engine("max", lr_desc, 0.0, n_steps, family="1d")
+    batches = _batches(4, seed=1)
+    engine.init_state(batches[0])
+    params = jax.device_get(engine.state.params)
+    stats = jax.device_get(engine.state.batch_stats)
+
+    input_dim = N_FFT // 2 + 1
+    tmodel = TorchRefHierCNN(3, 1, 8, 2.0, N_CLASSES, input_dim)
+    tmodel.load_state_dict(transplant_hier(params, stats, 3), strict=True)
+
+    # init eval-forward parity
+    tmodel.eval()
+    with torch.no_grad():
+        tlogits0 = tmodel(torch.from_numpy(batches[0]["signal"])).numpy()
+    db0, _ = engine._prep_batch(batches[0])
+    inputs0, fl0 = engine.frontend(db0["signal"], db0["lengths"])
+    jlogits0 = np.asarray(engine.model.apply(
+        {"params": engine.state.params,
+         "batch_stats": engine.state.batch_stats},
+        inputs0, fl0, train=False)["class_logits"])
+    np.testing.assert_allclose(jlogits0, tlogits0, atol=2e-4,
+                               err_msg="hier init eval-forward diverges")
+    tmodel.train()
+    opt = torch.optim.Adam(tmodel.parameters(), lr=min_lr, amsgrad=True)
+
+    losses_j, losses_t = [], []
+    for step in range(n_steps):
+        batch = batches[step % len(batches)]
+        lr = reference_onecycle_lr(min_lr, max_lr, n_steps, step)
+        for g in opt.param_groups:
+            g["lr"] = lr
+        opt.zero_grad()
+        tloss = torch_lsep_loss(
+            tmodel(torch.from_numpy(batch["signal"])),
+            torch.from_numpy(batch["labels"]))
+        tloss.backward()
+        opt.step()
+        losses_t.append(float(tloss))
+
+        db, n = engine._prep_batch(batch)
+        partner = (db["signal"], db["lengths"], db["labels"])
+        engine.state, out = engine._train_step(
+            engine.state, db, 0.0, jnp.int32(n), partner)
+        losses_j.append(float(out["loss"]))
+    return np.asarray(losses_j), np.asarray(losses_t)
+
+
 class TestOptimizerTorchParity:
     """50 deterministic steps on a smooth toy objective: our optax chains
     must track torch.optim to f32 round-off. This is the tight optimizer
@@ -479,6 +636,10 @@ class TestReferenceStepParity:
 
     def test_rnn_aggregation_trajectory(self):
         lj, lt = _run_parity("rnn", weight_decay=0.0, n_steps=12)
+        _assert_trajectory(lj, lt)
+
+    def test_hierarchical_family_trajectory(self):
+        lj, lt = _run_parity_hier(n_steps=10)
         _assert_trajectory(lj, lt)
 
     def test_1cycle_schedule_matches_reference_shape(self):
