@@ -120,8 +120,16 @@ class CNNBackbone(nn.Module):
                         fused_infer=self.fused_infer, name="trunk")(
             x, train
         )
-        # trunk downsamples time by 32 (conv1 2x, maxpool 2x, stages 2-4: 8x)
-        lengths = jnp.maximum(frame_lengths // 32, 1)
+        # trunk downsamples time by 32 via five stride-2 stages (conv1,
+        # maxpool, stages 2-4 first blocks), each with SAME-style padding:
+        # valid output frames are l -> (l+1)//2 applied five times — NOT
+        # l//32, which undercounts (65 frames -> 3 trunk frames, not 2)
+        # and silently dropped the final valid frame the reference pools
+        # (caught by the live-torch backbone parity harness, r5)
+        lengths = frame_lengths
+        for _ in range(5):
+            lengths = (lengths + 1) // 2
+        lengths = jnp.maximum(lengths, 1)
         feats = masked_max_pool_2d(h, lengths)
         logits = MLPHead(
             feats.shape[-1], self.n_classes, self.output_dropout,

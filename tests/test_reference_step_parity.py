@@ -227,6 +227,76 @@ class TorchRefHierCNN(torch.nn.Module):
         return self.output_transform(torch.cat(feats, -1))
 
 
+class TorchBasicBlock(torch.nn.Module):
+    """Standard resnet-v1 basic block (the reference's pretrainedmodels
+    resnet18 trunk, classifiers.py:912-915 with pretrained=None)."""
+
+    def __init__(self, cin, features, stride):
+        super().__init__()
+        nn = torch.nn
+        self.conv1 = nn.Conv2d(cin, features, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn1 = nn.BatchNorm2d(features)
+        self.conv2 = nn.Conv2d(features, features, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(features)
+        self.has_proj = cin != features or stride != 1
+        if self.has_proj:
+            self.downsample = nn.Conv2d(cin, features, 1, stride=stride,
+                                        bias=False)
+            self.downsample_bn = nn.BatchNorm2d(features)
+
+    def forward(self, x):
+        h = torch.relu(self.bn1(self.conv1(x)))
+        h = self.bn2(self.conv2(h))
+        r = self.downsample_bn(self.downsample(x)) if self.has_proj else x
+        return torch.relu(h + r)
+
+
+class TorchRefBackbone(torch.nn.Module):
+    """reference CNNBackboneClassificationModel (classifiers.py:896-964):
+    3-channel log spectrogram -> BN(3) -> resnet18 features -> global max
+    -> BN/Linear/BN/PReLU/Dropout/Linear head."""
+
+    def __init__(self, stages, n_classes):
+        super().__init__()
+        nn = torch.nn
+        self.input_norm = nn.BatchNorm2d(3)
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        blocks = []
+        cin = 64
+        for stage, n_blocks in enumerate(stages):
+            features = 64 * (2**stage)
+            for b in range(n_blocks):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                blocks.append(TorchBasicBlock(cin, features, stride))
+                cin = features
+        self.blocks = nn.ModuleList(blocks)
+        self.global_maxpool = nn.AdaptiveMaxPool2d(1)
+        total = cin
+        self.output_transform = nn.Sequential(
+            nn.BatchNorm1d(total),
+            nn.Linear(total, total),
+            nn.BatchNorm1d(total),
+            nn.PReLU(total),
+            nn.Dropout(0.0),
+            nn.Linear(total, n_classes),
+        )
+
+    def forward(self, signal):
+        window = torch.hann_window(N_FFT, device=signal.device)
+        s = torch.stft(signal, N_FFT, HOP, window=window,
+                       return_complex=True).abs()
+        x = torch.log(s + 1e-4).unsqueeze(1).repeat(1, 3, 1, 1)
+        h = torch.relu(self.bn1(self.conv1(self.input_norm(x))))
+        h = self.maxpool(h)
+        for blk in self.blocks:
+            h = blk(h)
+        feats = self.global_maxpool(h).squeeze(-1).squeeze(-1)
+        return self.output_transform(feats)
+
+
 # ---------------------------------------------------------------------------
 # weight transplant: JAX init -> torch state_dict
 # ---------------------------------------------------------------------------
@@ -506,6 +576,111 @@ def _assert_trajectory(lj, lt):
                                err_msg="full trajectory (chaotic bound)")
 
 
+def _map_conv_nobias(sd, tkey, jp):
+    sd[f"{tkey}.weight"] = _t(np.transpose(jp["kernel"], (3, 2, 0, 1)))
+
+
+def transplant_backbone(params, stats, stages):
+    sd = {}
+    _map_bn(sd, "input_norm", params["input_norm"], stats["input_norm"])
+    tr, ts = params["trunk"], stats["trunk"]
+    _map_conv_nobias(sd, "conv1", tr["conv1"])
+    _map_bn(sd, "bn1", tr["bn1"], ts["bn1"])
+    i = 0
+    for stage, n_blocks in enumerate(stages):
+        for b in range(n_blocks):
+            jb, js = (tr[f"stage{stage}_block{b}"],
+                      ts[f"stage{stage}_block{b}"])
+            pre = f"blocks.{i}"
+            _map_conv_nobias(sd, f"{pre}.conv1", jb["conv1"])
+            _map_bn(sd, f"{pre}.bn1", jb["bn1"], js["bn1"])
+            _map_conv_nobias(sd, f"{pre}.conv2", jb["conv2"])
+            _map_bn(sd, f"{pre}.bn2", jb["bn2"], js["bn2"])
+            if "downsample" in jb:
+                _map_conv_nobias(sd, f"{pre}.downsample", jb["downsample"])
+                _map_bn(sd, f"{pre}.downsample_bn", jb["downsample_bn"],
+                        js["downsample_bn"])
+            i += 1
+    h, hs = params["head"], stats["head"]
+    _map_bn(sd, "output_transform.0", h["bn1"], hs["bn1"])
+    _map_linear(sd, "output_transform.1", h["fc1"])
+    _map_bn(sd, "output_transform.2", h["bn2"], hs["bn2"])
+    sd["output_transform.3.weight"] = _t(h["prelu"]["alpha"])
+    _map_linear(sd, "output_transform.5", h["fc2"])
+    return sd
+
+
+def _run_parity_backbone(n_steps=8, min_lr=1e-3, max_lr=3e-3):
+    """CNNBackbone (resnet18) parity: third production family
+    (reference classifiers.py:896-964)."""
+    import jax
+    import jax.numpy as jnp
+
+    from freesound_classification_tpu.models.backbone import (
+        CNNBackbone,
+        RESNET_STAGES,
+    )
+    from freesound_classification_tpu.models.frontend import Frontend
+    from freesound_classification_tpu.parallel import mesh as mesh_lib
+    from freesound_classification_tpu.training.engine import Engine
+
+    stages = RESNET_STAGES["resnet18"]
+    model = CNNBackbone(arch="resnet18", n_classes=N_CLASSES,
+                        dtype=jnp.float32)
+    frontend = Frontend(FEATURES, "2d", sr=SR, dft_precision="high")
+    cfg = types.SimpleNamespace(
+        optimizer="adam", learning_rate=1e-3,
+        scheduler=f"1cycle_{min_lr}_{max_lr}", weight_decay=0.0,
+        accumulation_steps=1, epochs=1,
+        switch_off_augmentations_on=10**9, _save_every=10**9)
+    engine = Engine(model, frontend, cfg, loss="lsep_naive", augment=None,
+                    mesh=mesh_lib.make_mesh(1))
+    engine.make_optimizer(max_steps=n_steps, steps_per_epoch=n_steps)
+    batches = _batches(4, seed=2)
+    engine.init_state(batches[0])
+    params = jax.device_get(engine.state.params)
+    stats = jax.device_get(engine.state.batch_stats)
+
+    tmodel = TorchRefBackbone(stages, N_CLASSES)
+    tmodel.load_state_dict(transplant_backbone(params, stats, stages),
+                           strict=True)
+
+    tmodel.eval()
+    with torch.no_grad():
+        tlogits0 = tmodel(torch.from_numpy(batches[0]["signal"])).numpy()
+    db0, _ = engine._prep_batch(batches[0])
+    inputs0, fl0 = engine.frontend(db0["signal"], db0["lengths"])
+    jlogits0 = np.asarray(engine.model.apply(
+        {"params": engine.state.params,
+         "batch_stats": engine.state.batch_stats},
+        inputs0, fl0, train=False)["class_logits"])
+    np.testing.assert_allclose(jlogits0, tlogits0, atol=2e-4,
+                               err_msg="backbone init eval-forward diverges")
+    tmodel.train()
+    opt = torch.optim.Adam(tmodel.parameters(), lr=min_lr, amsgrad=True)
+
+    losses_j, losses_t = [], []
+    for step in range(n_steps):
+        batch = batches[step % len(batches)]
+        lr = reference_onecycle_lr(min_lr, max_lr, n_steps, step)
+        for g in opt.param_groups:
+            g["lr"] = lr
+        opt.zero_grad()
+        tloss = torch_lsep_loss(
+            tmodel(torch.from_numpy(batch["signal"])),
+            torch.from_numpy(batch["labels"]))
+        tloss.backward()
+        opt.step()
+        losses_t.append(float(tloss))
+
+        db, n = engine._prep_batch(batch)
+        partner = (db["signal"], db["lengths"], db["labels"])
+        engine.state, out = engine._train_step(
+            engine.state, db, 0.0, jnp.int32(n), partner)
+        losses_j.append(float(out["loss"]))
+    return np.asarray(losses_j), np.asarray(losses_t)
+
+
 def _run_parity_hier(n_steps=10, min_lr=1e-3, max_lr=3e-3):
     """HierarchicalCNN (1d tower) parity: same harness as _run_parity but
     for the second production family (reference classifiers.py:107-217)."""
@@ -641,6 +816,17 @@ class TestReferenceStepParity:
     def test_hierarchical_family_trajectory(self):
         lj, lt = _run_parity_hier(n_steps=10)
         _assert_trajectory(lj, lt)
+
+    def test_backbone_family_trajectory(self):
+        """resnet18 is ~3x deeper in BN/conv stages than the other
+        families, so the same per-step backend noise doubles faster —
+        tight window 3 steps (step 0 matches to 2e-6, the init forward to
+        2e-4), chaos bound 25% over 8."""
+        lj, lt = _run_parity_backbone(n_steps=8)
+        np.testing.assert_allclose(lj[:3], lt[:3], rtol=2e-2, atol=2e-2,
+                                   err_msg="early trajectory")
+        np.testing.assert_allclose(lj, lt, rtol=2.5e-1, atol=2.5e-1,
+                                   err_msg="full trajectory (chaotic bound)")
 
     def test_1cycle_schedule_matches_reference_shape(self):
         from freesound_classification_tpu.ops.schedules import (
