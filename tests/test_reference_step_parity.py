@@ -408,6 +408,135 @@ def transplant(params, stats, num_blocks, sds, agg):
 
 
 # ---------------------------------------------------------------------------
+# SSL families
+# ---------------------------------------------------------------------------
+
+
+class TorchRefAPC(torch.nn.Module):
+    """reference APCModel (networks/apc.py:19-83): affine-free input
+    LayerNorm -> LSTM stack -> output LayerNorm -> per-step linear heads,
+    L1 loss against the detached normalized input `step` frames ahead.
+    Consumes feature frames directly (featurization parity is covered by
+    the classifier harnesses; the reference's own featurization is
+    bit-rotted — PARITY.md #3)."""
+
+    def __init__(self, input_dim, rnn_size, rnn_layers, steps):
+        super().__init__()
+        nn = torch.nn
+        self.input_norm = nn.LayerNorm((input_dim,),
+                                       elementwise_affine=False)
+        self.rnn = nn.LSTM(input_dim, rnn_size, num_layers=rnn_layers,
+                           batch_first=True)
+        self.output_norm = nn.LayerNorm((rnn_size,))
+        self.prediction_transforms = nn.ModuleList([
+            nn.Sequential(nn.Linear(rnn_size, input_dim))
+            for _ in range(steps)
+        ])
+
+    def forward(self, feats):
+        signal = self.input_norm(feats)
+        output, _ = self.rnn(signal)
+        output = self.output_norm(output)
+        losses = []
+        for step, affine in enumerate(self.prediction_transforms, start=1):
+            prediction = affine(output[:, :-step, :])
+            target = signal.detach()[:, step:, :]
+            losses.append(torch.abs(target - prediction).sum(-1).mean())
+        return losses
+
+
+def transplant_apc(params, rnn_layers):
+    sd = {}
+    for l in range(rnn_layers):
+        cell = params[f"OptimizedLSTMCell_{l}"]
+        # torch gate order i, f, g, o; flax puts biases on the hidden-side
+        # denses only (b_ih stays 0)
+        w_ih = np.concatenate([np.asarray(cell[g]["kernel"]).T
+                               for g in ("ii", "if", "ig", "io")], axis=0)
+        w_hh = np.concatenate([np.asarray(cell[g]["kernel"]).T
+                               for g in ("hi", "hf", "hg", "ho")], axis=0)
+        b_hh = np.concatenate([np.asarray(cell[g]["bias"])
+                               for g in ("hi", "hf", "hg", "ho")], axis=0)
+        sd[f"rnn.weight_ih_l{l}"] = _t(w_ih)
+        sd[f"rnn.weight_hh_l{l}"] = _t(w_hh)
+        sd[f"rnn.bias_ih_l{l}"] = _t(np.zeros_like(b_hh))
+        sd[f"rnn.bias_hh_l{l}"] = _t(b_hh)
+    sd["output_norm.weight"] = _t(params["output_norm"]["scale"])
+    sd["output_norm.bias"] = _t(params["output_norm"]["bias"])
+    for k, name in enumerate(sorted(
+            n for n in params if n.startswith("prediction_"))):
+        _map_linear(sd, f"prediction_transforms.{k}.0", params[name])
+    return sd
+
+
+class TorchTwinCPC(torch.nn.Module):
+    """Torch twin of OUR CPCModel. The reference's CausalConv1d
+    (cpc.py:20-31) pads kernel_size on BOTH sides then trims kernel_size
+    TIME steps after the stride-2 conv — discarding valid encoder steps
+    every layer (65 input frames leave ONE encoder step after 5 layers).
+    Our CausalConv1d left-pads k-1 with no trim (true causal, nothing
+    discarded) — a documented divergence (PARITY.md #12), so this twin
+    implements OUR semantics to pin the math/transplant, not the
+    reference's truncation bug."""
+
+    def __init__(self, input_dim, n_layers, base, growth, context, steps):
+        super().__init__()
+        nn = torch.nn
+        self.input_bn = nn.BatchNorm1d(input_dim)
+        convs, prelus = [], []
+        depth = input_dim
+        for k in range(n_layers):
+            cin = input_dim if k == 0 else depth
+            depth = int(growth**k * base)
+            convs.append(nn.Conv1d(cin, depth, 3, stride=2))
+            prelus.append(nn.PReLU(depth))
+        self.convs = nn.ModuleList(convs)
+        self.prelus = nn.ModuleList(prelus)
+        self.output_bn = nn.BatchNorm1d(depth)
+        self.context = nn.GRU(depth, context, batch_first=True)
+        self.couplings = nn.ModuleList([
+            nn.Conv1d(context, depth, 1) for _ in range(steps)
+        ])
+        self.steps = steps
+
+    def forward(self, feats):
+        h = self.input_bn(feats.permute(0, 2, 1))
+        for conv, prelu in zip(self.convs, self.prelus):
+            h = prelu(conv(torch.nn.functional.pad(h, (2, 0))))
+        z = self.output_bn(h)  # (B, D, S)
+        c, _ = self.context(z.permute(0, 2, 1))  # (B, S, C)
+        losses = []
+        s = z.size(2)
+        for step, coupling in enumerate(self.couplings, start=1):
+            a = coupling(c.permute(0, 2, 1))  # (B, D, S)
+            logits = torch.bmm(z.permute(0, 2, 1), a)  # (B, S, S)
+            labels = torch.eye(s - step)
+            labels = torch.nn.functional.pad(labels, (0, step, step, 0))
+            labels = labels.unsqueeze(0).expand_as(logits)
+            losses.append(
+                torch.nn.functional.binary_cross_entropy_with_logits(
+                    logits, labels))
+        return losses
+
+
+def transplant_cpc(params, stats, n_layers):
+    sd = {}
+    _map_bn(sd, "input_bn", params["input_bn"], stats["input_bn"])
+    for k in range(n_layers):
+        _map_conv1d(sd, f"convs.{k}", params[f"enc{k}"]["conv"])
+        sd[f"prelus.{k}.weight"] = _t(params[f"prelu{k}"]["alpha"])
+    _map_bn(sd, "output_bn", params["output_bn"], stats["output_bn"])
+    _map_gru_direction(sd, "context", "", params["GRUCell_0"])
+    for k, name in enumerate(sorted(
+            n for n in params if n.startswith("coupling_"))):
+        # 1x1 Conv1d == Dense on the channel axis
+        sd[f"couplings.{k}.weight"] = _t(
+            np.asarray(params[name]["kernel"]).T[:, :, None])
+        sd[f"couplings.{k}.bias"] = _t(params[name]["bias"])
+    return sd
+
+
+# ---------------------------------------------------------------------------
 # the harness
 # ---------------------------------------------------------------------------
 
@@ -681,6 +810,81 @@ def _run_parity_backbone(n_steps=8, min_lr=1e-3, max_lr=3e-3):
     return np.asarray(losses_j), np.asarray(losses_t)
 
 
+def _run_parity_ssl(kind, n_steps=8, min_lr=1e-3, max_lr=3e-3):
+    """APC/CPC parity: the SSL train step (sum of loss_terms, adam-amsgrad,
+    1cycle — reference apc.py:124-167 `loss = sum(losses)`) through the
+    real self-supervised engine vs the torch twin on IDENTICAL feature
+    frames."""
+    import jax
+    import jax.numpy as jnp
+
+    from freesound_classification_tpu.models.apc import APCModel
+    from freesound_classification_tpu.models.cpc import CPCModel
+    from freesound_classification_tpu.models.frontend import Frontend
+    from freesound_classification_tpu.parallel import mesh as mesh_lib
+    from freesound_classification_tpu.training.engine import Engine
+
+    input_dim = N_FFT // 2 + 1
+    if kind == "apc":
+        model = APCModel(rnn_size=32, rnn_layers=3, prediction_steps=3,
+                         dtype=jnp.float32)
+    else:
+        model = CPCModel(n_encoder_layers=3, conv_base_depth=8,
+                         growth_rate=2.0, context_size=32,
+                         prediction_steps=2, dtype=jnp.float32)
+    frontend = Frontend(FEATURES, "1d", sr=SR, dft_precision="high")
+    cfg = types.SimpleNamespace(
+        optimizer="adam", learning_rate=1e-3,
+        scheduler=f"1cycle_{min_lr}_{max_lr}", weight_decay=0.0,
+        accumulation_steps=1, epochs=1,
+        switch_off_augmentations_on=10**9, _save_every=10**9)
+    engine = Engine(model, frontend, cfg, loss="lsep_naive", augment=None,
+                    mesh=mesh_lib.make_mesh(1), self_supervised=True)
+    engine.make_optimizer(max_steps=n_steps, steps_per_epoch=n_steps)
+    batches = _batches(4, seed=3)
+    engine.init_state(batches[0])
+    params = jax.device_get(engine.state.params)
+    stats = jax.device_get(engine.state.batch_stats)
+
+    if kind == "apc":
+        tmodel = TorchRefAPC(input_dim, 32, 3, 3)
+        tmodel.load_state_dict(transplant_apc(params, 3), strict=True)
+    else:
+        tmodel = TorchTwinCPC(input_dim, 3, 8, 2.0, 32, 2)
+        tmodel.load_state_dict(transplant_cpc(params, stats, 3),
+                               strict=True)
+    tmodel.train()
+    opt = torch.optim.Adam(tmodel.parameters(), lr=min_lr, amsgrad=True)
+
+    # identical feature frames on both sides (the frontend is the
+    # classifier harnesses' parity surface)
+    feats_np = {}
+    for i, b in enumerate(batches):
+        x, _ = frontend(jnp.asarray(b["signal"]),
+                        jnp.asarray(b["lengths"]))
+        feats_np[i] = np.asarray(x, np.float32)
+
+    losses_j, losses_t = [], []
+    for step in range(n_steps):
+        i = step % len(batches)
+        batch = batches[i]
+        lr = reference_onecycle_lr(min_lr, max_lr, n_steps, step)
+        for g in opt.param_groups:
+            g["lr"] = lr
+        opt.zero_grad()
+        tloss = sum(tmodel(torch.from_numpy(feats_np[i])))
+        tloss.backward()
+        opt.step()
+        losses_t.append(float(tloss))
+
+        db, n = engine._prep_batch(batch)
+        partner = (db["signal"], db["lengths"], db.get("labels"))
+        engine.state, out = engine._train_step(
+            engine.state, db, 0.0, jnp.int32(n), partner)
+        losses_j.append(float(out["loss"]))
+    return np.asarray(losses_j), np.asarray(losses_t)
+
+
 def _run_parity_hier(n_steps=10, min_lr=1e-3, max_lr=3e-3):
     """HierarchicalCNN (1d tower) parity: same harness as _run_parity but
     for the second production family (reference classifiers.py:107-217)."""
@@ -815,6 +1019,14 @@ class TestReferenceStepParity:
 
     def test_hierarchical_family_trajectory(self):
         lj, lt = _run_parity_hier(n_steps=10)
+        _assert_trajectory(lj, lt)
+
+    def test_apc_family_trajectory(self):
+        lj, lt = _run_parity_ssl("apc", n_steps=8)
+        _assert_trajectory(lj, lt)
+
+    def test_cpc_family_trajectory(self):
+        lj, lt = _run_parity_ssl("cpc", n_steps=8)
         _assert_trajectory(lj, lt)
 
     def test_backbone_family_trajectory(self):
