@@ -115,12 +115,15 @@ def _swap_into_place(write_to_tmp: Callable[[str], None], path: str) -> None:
     _SWAP_COUNT += 1
     tmp = f"{path}.swap-{os.getpid()}-{_SWAP_COUNT}"
     old = path + ".old"
-    # clear orphans from a previous crashed process
+    # clear swap orphans from a previous crashed process (never ``.old`` —
+    # if the target is missing, .old is the only durable copy and must
+    # survive until the new target is in place)
     for stale in (tmp, *_stale_swaps(path)):
         shutil.rmtree(stale, ignore_errors=True)
     write_to_tmp(tmp)
-    shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(path):
+        # drop a stale .old only when the current target will replace it
+        shutil.rmtree(old, ignore_errors=True)
         os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)

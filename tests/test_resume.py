@@ -78,6 +78,26 @@ class TestCrashSafeSwap:
                                       np.arange(4.0))
         assert int(restored["step"]) == 7
 
+    def test_save_after_crashed_swap_preserves_fallback(self, tmp_path):
+        """Recovery save: with the target missing and only .old on disk
+        (a crash mid-swap), the next save must never delete .old before
+        the new target is in place — and must leave the NEW state."""
+        import os
+
+        import jax.numpy as jnp
+
+        from freesound_classification_tpu.training import (
+            checkpoints as ckpt_lib,
+        )
+
+        path = str(tmp_path / "ckpt")
+        ckpt_lib.save_state(path, {"w": jnp.zeros(3)}, async_save=False)
+        os.rename(path, path + ".old")  # simulate the crash window
+        ckpt_lib.save_state(path, {"w": jnp.ones(3)}, async_save=False)
+        restored = ckpt_lib.restore_state(path, {"w": jnp.zeros(3)})
+        np.testing.assert_array_equal(np.asarray(restored["w"]), np.ones(3))
+        assert not os.path.exists(path + ".old")
+
     def test_resume_bundle_pairs_state_and_meta(self, tmp_path):
         import os
 
