@@ -420,6 +420,16 @@ class Engine:
                     "crop TTA), or use n_tta=1. Perturbation-based TTA "
                     "lives in EnsemblePredictor.predict_loader(tta_fn=...)"
                 )
+            if getattr(getattr(loader, "sampler", None), "shuffle", False):
+                raise ValueError(
+                    f"predict(n_tta={n_tta}) on a SHUFFLED loader would "
+                    "average misaligned rows (each pass reshuffles and "
+                    "predict concatenates in loader order). Build the TTA "
+                    "loader with shuffle=False, or use "
+                    "cli.common.predict_ordered / "
+                    "EnsemblePredictor.predict_loader, which restore "
+                    "dataset order per pass via batch['index']"
+                )
         all_tta = []
         for _ in range(n_tta):
             probs = []

@@ -143,6 +143,12 @@ class TestEngine:
         with pytest.raises(ValueError, match="at least one array"):
             engine.predict(FakeLoader(train=True, max_audio_length=2.0),
                            n_tta=2)
+        # ...but a SHUFFLED stochastic loader is rejected: each pass would
+        # reshuffle and predict averages in loader order
+        shuffled = FakeLoader(train=True, max_audio_length=2.0)
+        shuffled.sampler = types.SimpleNamespace(shuffle=True)
+        with pytest.raises(ValueError, match="SHUFFLED"):
+            engine.predict(shuffled, n_tta=2)
         # unknown loader types (no .train attribute) are not rejected
         with pytest.raises(ValueError, match="at least one array"):
             engine.predict(ListLoader(), n_tta=2)
